@@ -1,0 +1,220 @@
+"""Ray-primitive intersection ops.
+
+Vectorized JAX re-implementations of the reference's prebuilt native
+intersection library (API: /root/reference/src/intersect.h:5-16; semantics
+reverse-engineered from the prebuilt archive — see SURVEY.md §2.1 and the
+golden harness in tools/golden_intersect.cpp which validates these against
+the actual binary):
+
+  - trianglePlane: n = normalize(cross(v1-v0, v2-v0)), D = dot(n, v0)
+  - pointInTriangle: three edge sign tests dot(cross(edge_i, p-v_i), n) >= 0
+  - intersectRayWithPlane: t = (D - dot(n,o)) / dot(n,d); accept iff
+    0 <= t <= ray.t
+  - intersectRayWithTriangle: plane-then-point-in-triangle
+  - sphere: quadratic with a == 1 (assumes normalized direction), smallest
+    non-negative root, accept iff t < ray.t (strict)
+  - AABB: slab test; origin-inside-box (tnear < 0 < tfar) accepts with
+    t = tfar, else requires tnear >= 0 (and tnear <= ray.t)
+
+All functions are mask-based (no data-dependent control flow) so they run on
+the VPU with no divergence, vmap/shard_map cleanly, and are differentiable.
+
+Closest-hit selection replicates the reference's sequential "last accepted
+wins" rule (bounding_volume_hierarchy.cpp:272-293): triangles accept
+t <= ray.t, so on exact ties the *later* triangle wins; spheres accept
+strictly t < ray.t, so the *earlier* sphere wins and a sphere never displaces
+an equal-t triangle.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+FLT_MAX = jnp.float32(3.4028234663852886e38)
+
+
+def _dot(a, b):
+    return jnp.sum(a * b, axis=-1)
+
+
+def triangle_plane(v0, v1, v2):
+    """trianglePlane: n = normalize(cross(v1-v0, v2-v0)), D = dot(n, v0)."""
+    n = jnp.cross(v1 - v0, v2 - v0)
+    n = n / jnp.linalg.norm(n, axis=-1, keepdims=True)
+    return n, _dot(n, v0)
+
+
+def point_in_triangle(v0, v1, v2, n, p):
+    """Three edge sign tests, all >= 0."""
+    e0 = _dot(jnp.cross(v1 - v0, p - v0), n) >= 0
+    e1 = _dot(jnp.cross(v2 - v1, p - v1), n) >= 0
+    e2 = _dot(jnp.cross(v0 - v2, p - v2), n) >= 0
+    return e0 & e1 & e2
+
+
+def intersect_ray_plane_t(o, d, n, D):
+    """Plane parameter t (no acceptance test)."""
+    return (D - _dot(n, o)) / _dot(n, d)
+
+
+def intersect_triangles_t(o, d, tmax, v0, v1, v2):
+    """Batched ray x triangle test.
+
+    o, d: [R, 3]; tmax: [R]; v0/v1/v2: [T, 3].
+    Returns t: [R, T] with +inf where there is no acceptable hit
+    (accept: 0 <= t <= tmax, point-in-triangle, finite).
+    """
+    n, D = triangle_plane(v0, v1, v2)                      # [T,3], [T]
+    denom = d @ n.T                                        # [R,T] = dot(d, n)
+    t = (D[None, :] - o @ n.T) / denom                     # [R,T]
+    p = o[:, None, :] + t[..., None] * d[:, None, :]       # [R,T,3]
+    inside = point_in_triangle(v0[None], v1[None], v2[None], n[None], p)
+    ok = (t >= 0) & (t <= tmax[:, None]) & inside & jnp.isfinite(t)
+    return jnp.where(ok, t, jnp.inf)
+
+
+def intersect_spheres_t(o, d, tmax, center, radius):
+    """Batched ray x sphere; assumes |d| == 1 (quadratic a==1, like the
+    prebuilt kernel). Returns t: [R, S], +inf on miss.
+    Accept: disc >= 0, smallest non-negative root, t < tmax (strict)."""
+    oc = o[:, None, :] - center[None, :, :]                # [R,S,3]
+    b = 2.0 * _dot(d[:, None, :], oc)                      # [R,S]
+    c = _dot(oc, oc) - radius[None, :] ** 2                # [R,S]
+    disc = b * b - 4.0 * c
+    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    t0 = (-b - sq) / 2.0
+    t1 = (-b + sq) / 2.0
+    t = jnp.where(t0 >= 0, t0, t1)                          # smallest non-negative
+    ok = (disc >= 0) & (t >= 0) & (t < tmax[:, None])
+    return jnp.where(ok, t, jnp.inf)
+
+
+def intersect_aabb(o, d, tmax, lower, upper):
+    """Batched ray x AABB slab test.
+
+    o, d: [R, 3]; lower/upper: [B, 3]. Returns (hit [R,B], t [R,B]).
+    Inside-the-box rule: tnear < 0 < tfar accepts with t = tfar
+    (bounding_volume_hierarchy traversal always tests at tmax = FLT_MAX)."""
+    inv = 1.0 / d                                           # IEEE: +-inf on 0
+    t1 = (lower[None] - o[:, None, :]) * inv[:, None, :]    # [R,B,3]
+    t2 = (upper[None] - o[:, None, :]) * inv[:, None, :]
+    # 0 * inf -> nan when the origin sits exactly on a slab of a zero-dir
+    # axis; replicate the FLT_MAX substitution of the prebuilt kernel.
+    zero_dir = (d == 0)[:, None, :]
+    inside_slab = (o[:, None, :] >= lower[None]) & (o[:, None, :] <= upper[None])
+    t1 = jnp.where(zero_dir, jnp.where(inside_slab, -FLT_MAX, FLT_MAX), t1)
+    t2 = jnp.where(zero_dir, jnp.where(inside_slab, FLT_MAX, -FLT_MAX), t2)
+    tlo = jnp.minimum(t1, t2)
+    thi = jnp.maximum(t1, t2)
+    tnear = jnp.max(tlo, axis=-1)
+    tfar = jnp.min(thi, axis=-1)
+    inside = (tnear < 0) & (tfar > 0)
+    hit = (tnear <= tfar) & (inside | ((tnear >= 0) & (tnear <= tmax[:, None])))
+    t = jnp.where(inside, tfar, tnear)
+    return hit, t
+
+
+class HitIds(NamedTuple):
+    """Discrete result of closest-hit: which primitive, at what t."""
+
+    hit: jax.Array        # [R] bool
+    t: jax.Array          # [R] f32 (inf on miss)
+    is_sphere: jax.Array  # [R] bool
+    prim: jax.Array       # [R] i32 (triangle index or sphere index)
+
+
+def _closest_tris_chunk(o, d, tmax, scene, tri_tile: int):
+    """Scan over triangle tiles; returns (t [R], idx [R]) with last-wins ties."""
+    T = scene.tris.shape[0]
+    n_tiles = -(-T // tri_tile)
+    pad = n_tiles * tri_tile - T
+    tris = jnp.pad(scene.tris, ((0, pad), (0, 0)))
+    mask = jnp.pad(scene.tri_mask, (0, pad))
+    v = scene.vertices
+
+    def body(carry, tile_idx):
+        best_t, best_i = carry
+        s = tile_idx * tri_tile
+        tt = jax.lax.dynamic_slice_in_dim(tris, s, tri_tile, 0)
+        tm = jax.lax.dynamic_slice_in_dim(mask, s, tri_tile, 0)
+        v0 = v[tt[:, 0]]
+        v1 = v[tt[:, 1]]
+        v2 = v[tt[:, 2]]
+        t = intersect_triangles_t(o, d, tmax, v0, v1, v2)   # [R, tile]
+        t = jnp.where(tm[None, :], t, jnp.inf)
+        tmin = jnp.min(t, axis=1)                            # [R]
+        ids = jax.lax.broadcasted_iota(jnp.int32, t.shape, 1) + s
+        idx = jnp.max(jnp.where(t == tmin[:, None], ids, -1), axis=1)
+        # sequential last-wins: a later tile replaces on t <= best
+        take = (tmin <= best_t) & jnp.isfinite(tmin)
+        return (jnp.where(take, tmin, best_t), jnp.where(take, idx, best_i)), None
+
+    R = o.shape[0]
+    init = (jnp.full(R, jnp.inf, jnp.float32), jnp.full(R, -1, jnp.int32))
+    (best_t, best_i), _ = jax.lax.scan(body, init, jnp.arange(n_tiles))
+    return best_t, best_i
+
+
+def closest_hit(scene, o, d, tmax, tri_tile: int = 512) -> HitIds:
+    """Brute-force closest hit over all primitives of the scene.
+
+    Replicates the reference's acceptance + tie rules (see module docstring).
+    Triangle t is in units of |d| (the kernels never normalize); sphere t
+    assumes |d| == 1.
+    """
+    best_t, best_i = _closest_tris_chunk(o, d, tmax, scene, tri_tile)
+
+    # spheres: tested after all triangles (ctor order,
+    # bounding_volume_hierarchy.cpp:158-171); accept strictly < current best.
+    sph_budget = jnp.minimum(best_t, tmax)
+    ts = intersect_spheres_t(o, d, sph_budget, scene.sph_center, scene.sph_radius)
+    ts = jnp.where(scene.sph_mask[None, :], ts, jnp.inf)
+    ts_min = jnp.min(ts, axis=1)
+    S = ts.shape[1]
+    sids = jax.lax.broadcasted_iota(jnp.int32, ts.shape, 1)
+    s_idx = jnp.min(jnp.where(ts == ts_min[:, None], sids, S + 1), axis=1)
+    sphere_wins = jnp.isfinite(ts_min)   # already strictly < best_t by budget
+
+    t = jnp.where(sphere_wins, ts_min, best_t)
+    hit = jnp.isfinite(t)
+    prim = jnp.where(sphere_wins, s_idx.astype(jnp.int32), best_i)
+    return HitIds(hit=hit, t=t, is_sphere=sphere_wins, prim=jnp.where(hit, prim, 0))
+
+
+def closest_hit_chunked(scene, o, d, tmax, ray_chunk: int = 2048,
+                        tri_tile: int = 512) -> HitIds:
+    """Memory-bounded closest hit: pads rays to a multiple of ray_chunk and
+    lax.map's chunks through `closest_hit`."""
+    R = o.shape[0]
+    n_chunks = max(1, -(-R // ray_chunk))
+    pad = n_chunks * ray_chunk - R
+    o_p = jnp.pad(o, ((0, pad), (0, 0)))
+    d_p = jnp.pad(d, ((0, pad), (0, 0)))
+    tmax_p = jnp.pad(tmax, (0, pad), constant_values=-1.0)  # dead rays
+
+    def run(chunk):
+        oo, dd, tt = chunk
+        return closest_hit(scene, oo, dd, tt, tri_tile)
+
+    res = jax.lax.map(run, (o_p.reshape(n_chunks, ray_chunk, 3),
+                            d_p.reshape(n_chunks, ray_chunk, 3),
+                            tmax_p.reshape(n_chunks, ray_chunk)))
+    return HitIds(*(x.reshape(-1)[:R] for x in res))
+
+
+def any_hit_shadow(scene, o, d, ray_chunk: int = 2048, tri_tile: int = 512):
+    """Occlusion query with budget t=1 (unnormalized direction): returns
+    True where *any* primitive blocks the segment o -> o+d
+    (light.cpp:60-61). Uses the same acceptance rules as closest_hit."""
+    tmax = jnp.ones(o.shape[0], jnp.float32)
+    res = closest_hit_chunked(scene, o, d, tmax, ray_chunk, tri_tile)
+    return res.hit
+
+
+@functools.partial(jax.jit, static_argnames=())
+def normalize(v, axis=-1):
+    return v / jnp.linalg.norm(v, axis=axis, keepdims=True)

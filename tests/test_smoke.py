@@ -1,0 +1,51 @@
+"""End-to-end smoke tests: load scenes, render small images, sanity checks."""
+
+import numpy as np
+import pytest
+
+from cge_tpu import (Camera, Features, RenderParams, SceneType,
+                     load_scene_prebuilt, render_image)
+
+
+@pytest.fixture(scope="module")
+def triangle_scene():
+    return load_scene_prebuilt(SceneType.SingleTriangle)
+
+
+def test_single_triangle_flat(triangle_scene):
+    """PR1 slice: flat shading off-path (enableShading=false => raw kd,
+    light.cpp:163); triangle.obj has kd forced to white (scene.cpp:13).
+    The default camera looks at the origin; the triangle lies in the x=0
+    plane, so a band of pixels must be exactly white and the rest black."""
+    cam = Camera()
+    img = render_image(triangle_scene, cam, Features(), RenderParams(), 64, 64)
+    img = np.asarray(img)
+    assert img.shape == (64, 64, 3)
+    hit = img.sum(axis=-1) > 0
+    assert hit.any(), "triangle not visible"
+    assert not hit.all(), "triangle covers whole frame?"
+    # hit pixels are exactly kd = (1,1,1)
+    np.testing.assert_allclose(img[hit], 1.0)
+
+
+def test_spheres_scene_renders():
+    scene = load_scene_prebuilt(SceneType.Spheres)
+    cam = Camera()
+    img = np.asarray(render_image(
+        scene, cam, Features(enable_shading=True), RenderParams(), 48, 48))
+    assert np.isfinite(img).all()
+    assert (img.sum(axis=-1) > 0).any()
+
+
+def test_cornell_phong_renders():
+    scene = load_scene_prebuilt(SceneType.CornellBox)
+    cam = Camera()
+    feats = Features(enable_shading=True, enable_hard_shadow=True,
+                     enable_recursive=True)
+    img = np.asarray(render_image(scene, cam, feats, RenderParams(), 32, 32))
+    assert img.shape == (32, 32, 3)
+    # NaN pixels are parity-correct: the reference's specular quirk computes
+    # std::pow(negative, 10.000002) for back-facing gate hits (shading.cpp:31)
+    finite = np.isfinite(img).all(axis=-1)
+    assert finite.mean() > 0.5
+    assert (np.nan_to_num(img).sum(axis=-1) > 0).any()

@@ -93,28 +93,38 @@ def intersect_spheres_t(o, d, tmax, center, radius):
     return jnp.where(ok, t, jnp.inf)
 
 
-def intersect_aabb(o, d, tmax, lower, upper):
-    """Batched ray x AABB slab test.
+FLT_MIN = jnp.float32(1.1754943508222875e-38)
 
-    o, d: [R, 3]; lower/upper: [B, 3]. Returns (hit [R,B], t [R,B]).
-    Inside-the-box rule: tnear < 0 < tfar accepts with t = tfar
-    (bounding_volume_hierarchy traversal always tests at tmax = FLT_MAX)."""
-    inv = 1.0 / d                                           # IEEE: +-inf on 0
-    t1 = (lower[None] - o[:, None, :]) * inv[:, None, :]    # [R,B,3]
-    t2 = (upper[None] - o[:, None, :]) * inv[:, None, :]
-    # 0 * inf -> nan when the origin sits exactly on a slab of a zero-dir
-    # axis; replicate the FLT_MAX substitution of the prebuilt kernel.
+
+def intersect_aabb(o, d, tmax, lower, upper):
+    """Batched ray x AABB slab test — bit-exact to the prebuilt kernel
+    (semantics decoded from the disassembly of intersect.cpp.o and validated
+    by tests/test_intersect_golden.py):
+
+      - per axis: t_l = (lower-o)/d, t_u = (upper-o)/d; when d == 0 the
+        binary substitutes the *constants* t_l = FLT_MIN, t_u = FLT_MAX
+        (so a parallel ray passes the slab even with the origin outside it
+        — an authoritative quirk);
+      - tnear = max_axis min(t_l, t_u); tfar = min_axis max(t_l, t_u);
+      - tnear < 0: hit iff tfar > 0, reporting t = tfar (origin inside);
+        else: hit iff tnear <= tfar, reporting t = tnear;
+      - in both cases the reported t must satisfy t <= ray.t.
+
+    o, d: [R, 3]; lower/upper: [B, 3]. Returns (hit [R,B], t [R,B])."""
     zero_dir = (d == 0)[:, None, :]
-    inside_slab = (o[:, None, :] >= lower[None]) & (o[:, None, :] <= upper[None])
-    t1 = jnp.where(zero_dir, jnp.where(inside_slab, -FLT_MAX, FLT_MAX), t1)
-    t2 = jnp.where(zero_dir, jnp.where(inside_slab, FLT_MAX, -FLT_MAX), t2)
-    tlo = jnp.minimum(t1, t2)
-    thi = jnp.maximum(t1, t2)
+    safe_d = jnp.where(zero_dir, 1.0, d[:, None, :])
+    t_l = (lower[None] - o[:, None, :]) / safe_d            # [R,B,3]
+    t_u = (upper[None] - o[:, None, :]) / safe_d
+    t_l = jnp.where(zero_dir, FLT_MIN, t_l)
+    t_u = jnp.where(zero_dir, FLT_MAX, t_u)
+    tlo = jnp.minimum(t_l, t_u)
+    thi = jnp.maximum(t_l, t_u)
     tnear = jnp.max(tlo, axis=-1)
     tfar = jnp.min(thi, axis=-1)
-    inside = (tnear < 0) & (tfar > 0)
-    hit = (tnear <= tfar) & (inside | ((tnear >= 0) & (tnear <= tmax[:, None])))
+    inside = tnear < 0
     t = jnp.where(inside, tfar, tnear)
+    ok = jnp.where(inside, tfar > 0, tnear <= tfar)
+    hit = ok & (t >= 0) & (t <= tmax[:, None])
     return hit, t
 
 

@@ -1,0 +1,108 @@
+"""Golden-image tests: cge_tpu renders vs the REAL reference renderer.
+
+tests/golden/images/*.raw are produced by tools/oracle/gen_goldens.sh, which
+builds the reference's actual src/ (render/light/shading/BVH + prebuilt
+intersection binary) headlessly and dumps float framebuffers. Each case here
+renders the same scene/features/camera through cge_tpu and compares.
+
+Tolerances: XLA reassociates float math, so we allow small numeric noise and
+a tiny fraction of decision-boundary pixels (rays grazing triangle edges can
+land on either side). NaN pixels must match NaN (the reference's pow quirk).
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from cge_tpu import (Camera, Features, RenderParams, SceneType,
+                     load_scene_prebuilt, render_image)
+
+GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "golden", "images")
+
+F = dict(
+    shading="enable_shading", recursive="enable_recursive",
+    hard_shadow="enable_hard_shadow", soft_shadow="enable_soft_shadow",
+    normal_interp="enable_normal_interp", texture="enable_texture_mapping",
+    accel="enable_accel_structure", sah="enable_bvh_sah_binning",
+    bloom="enable_bloom_effect", bilinear="enable_bilinear_texture_filtering",
+    msaa="enable_multiple_rays_per_pixel", glossy="enable_glossy_reflection",
+    transparency="enable_transparency", dof="enable_depth_of_field",
+)
+
+
+def feats(csv: str) -> Features:
+    if csv == "none":
+        return Features()
+    return Features(**{F[k]: True for k in csv.split(",")})
+
+
+DEFAULT_CAM = dict(fov=50.0, dist=3.0, look=(0, 0, 0), rot=(20, 20, 0))
+
+CASES = [
+    ("triangle_flat", SceneType.SingleTriangle, "none", DEFAULT_CAM),
+    ("triangle_shading", SceneType.SingleTriangle, "shading", DEFAULT_CAM),
+    ("spheres_shading", SceneType.Spheres, "shading", DEFAULT_CAM),
+    ("spheres_shadow", SceneType.Spheres, "shading,hard_shadow", DEFAULT_CAM),  # see MIN_FRAC
+    ("cornell_phong", SceneType.CornellBox, "shading,hard_shadow", DEFAULT_CAM),
+    ("cornell_recursive", SceneType.CornellBox,
+     "shading,hard_shadow,recursive", DEFAULT_CAM),
+    ("cornell_accel", SceneType.CornellBox,
+     "shading,hard_shadow,recursive,accel", DEFAULT_CAM),
+    ("cornell_bloom", SceneType.CornellBox,
+     "shading,hard_shadow,recursive,bloom", DEFAULT_CAM),
+    ("cornell_cam2", SceneType.CornellBox, "shading,hard_shadow,recursive",
+     dict(fov=65.0, dist=2.2, look=(0.1, -0.1, 0), rot=(-15, 40, 0))),
+    ("monkey_interp", SceneType.Monkey, "shading,normal_interp,accel",
+     DEFAULT_CAM),
+    ("monkey_flat_normals", SceneType.Monkey, "shading,accel", DEFAULT_CAM),
+    ("cube_tex_nearest", SceneType.CubeTextured, "shading,texture",
+     DEFAULT_CAM),
+    ("cube_tex_bilinear", SceneType.CubeTextured, "shading,texture,bilinear",
+     DEFAULT_CAM),
+    ("cube_trans", SceneType.Cube, "shading,transparency", DEFAULT_CAM),
+    ("cube_rec_quirk", SceneType.Cube, "shading,recursive", DEFAULT_CAM),
+    ("cube_trans_rec", SceneType.Cube, "shading,transparency,recursive",
+     DEFAULT_CAM),
+    ("teapot_accel", SceneType.Teapot, "shading,accel", DEFAULT_CAM),
+    ("teapot_sah", SceneType.Teapot, "shading,accel,sah", DEFAULT_CAM),
+]
+
+
+# decision-boundary tolerance overrides: rays grazing a sphere silhouette
+# flip shadow state on ulp-level quadratic differences (XLA fma vs scalar SSE)
+MIN_FRAC = {"spheres_shadow": 0.99}
+
+
+def load_golden(name):
+    path = os.path.join(GOLDEN_DIR, f"{name}.raw")
+    if not os.path.exists(path):
+        pytest.skip(f"golden {name} missing (run tools/oracle/gen_goldens.sh)")
+    raw = np.fromfile(path, dtype=np.float32)
+    w, h = raw[:2].view(np.int32)
+    return raw[2:].reshape(int(h), int(w), 3)
+
+
+@pytest.mark.parametrize("name,scene_type,fcsv,cam", CASES,
+                         ids=[c[0] for c in CASES])
+def test_golden_image(name, scene_type, fcsv, cam):
+    ref = load_golden(name)
+    h, w = ref.shape[:2]
+    scene = load_scene_prebuilt(scene_type)
+    camera = Camera(fovy=np.radians(cam["fov"]), distance=cam["dist"],
+                    look_at=tuple(cam["look"]),
+                    rotation=tuple(np.radians(cam["rot"])),
+                    aspect=w / h)
+    img = np.asarray(render_image(scene, camera, feats(fcsv),
+                                  RenderParams(), w, h))
+    ref_nan = ~np.isfinite(ref)
+    img_nan = ~np.isfinite(img)
+    # NaN structure must agree (pow quirk parity)
+    nan_agree = (ref_nan == img_nan).mean()
+    assert nan_agree > 0.999, f"NaN mask agreement {nan_agree:.4f}"
+    both = np.isfinite(ref) & np.isfinite(img)
+    close = np.isclose(img, ref, rtol=1e-4, atol=2e-4) | ~both
+    frac = close.all(axis=-1).mean()
+    err = np.abs(np.where(both, img - ref, 0.0))
+    assert frac >= MIN_FRAC.get(name, 0.995), (
+        f"{name}: {frac:.4%} pixels match, max err {err.max():.3e}")

@@ -137,14 +137,16 @@ class HitIds(NamedTuple):
     prim: jax.Array       # [R] i32 (triangle index or sphere index)
 
 
-def _closest_tris_chunk(o, d, tmax, scene, tri_tile: int):
-    """Scan over triangle tiles; returns (t [R], idx [R]) with last-wins ties."""
-    T = scene.tris.shape[0]
+def _closest_tris_sweep(o, d, tmax, vertices, tris, mask, tri_tile: int,
+                        idx_offset=0):
+    """Scan over triangle tiles; returns (t [R], idx [R]) with last-wins ties.
+    idx_offset shifts reported indices (for sharded sweeps over a slice)."""
+    T = tris.shape[0]
     n_tiles = -(-T // tri_tile)
     pad = n_tiles * tri_tile - T
-    tris = jnp.pad(scene.tris, ((0, pad), (0, 0)))
-    mask = jnp.pad(scene.tri_mask, (0, pad))
-    v = scene.vertices
+    tris = jnp.pad(tris, ((0, pad), (0, 0)))
+    mask = jnp.pad(mask, (0, pad))
+    v = vertices
 
     def body(carry, tile_idx):
         best_t, best_i = carry
@@ -157,7 +159,7 @@ def _closest_tris_chunk(o, d, tmax, scene, tri_tile: int):
         t = intersect_triangles_t(o, d, tmax, v0, v1, v2)   # [R, tile]
         t = jnp.where(tm[None, :], t, jnp.inf)
         tmin = jnp.min(t, axis=1)                            # [R]
-        ids = jax.lax.broadcasted_iota(jnp.int32, t.shape, 1) + s
+        ids = jax.lax.broadcasted_iota(jnp.int32, t.shape, 1) + (s + idx_offset)
         idx = jnp.max(jnp.where(t == tmin[:, None], ids, -1), axis=1)
         # sequential last-wins: a later tile replaces on t <= best
         take = (tmin <= best_t) & jnp.isfinite(tmin)
@@ -169,14 +171,38 @@ def _closest_tris_chunk(o, d, tmax, scene, tri_tile: int):
     return best_t, best_i
 
 
-def closest_hit(scene, o, d, tmax, tri_tile: int = 512) -> HitIds:
+def closest_hit(scene, o, d, tmax, tri_tile: int = 512,
+                prims_axis=None, prims_axis_size: int = 1) -> HitIds:
     """Brute-force closest hit over all primitives of the scene.
 
     Replicates the reference's acceptance + tie rules (see module docstring).
     Triangle t is in units of |d| (the kernels never normalize); sphere t
     assumes |d| == 1.
+
+    When prims_axis is set (inside shard_map over a mesh axis of size
+    prims_axis_size — the tensor-parallel analogue), each device sweeps a
+    contiguous slice of the (replicated) triangle table and the partial
+    results are combined with an all_gather + tie-aware reduction over ICI;
+    spheres are small and processed replicated after the reduce.
     """
-    best_t, best_i = _closest_tris_chunk(o, d, tmax, scene, tri_tile)
+    if prims_axis is not None:
+        T = scene.tris.shape[0]
+        assert T % prims_axis_size == 0, "pad tris to a multiple of the axis"
+        shard = T // prims_axis_size
+        ax = jax.lax.axis_index(prims_axis)
+        tris_l = jax.lax.dynamic_slice_in_dim(scene.tris, ax * shard, shard, 0)
+        mask_l = jax.lax.dynamic_slice_in_dim(scene.tri_mask, ax * shard, shard, 0)
+        t_l, i_l = _closest_tris_sweep(o, d, tmax, scene.vertices, tris_l,
+                                       mask_l, tri_tile,
+                                       idx_offset=ax * shard)
+        ts = jax.lax.all_gather(t_l, prims_axis)             # [P, R]
+        idxs = jax.lax.all_gather(i_l, prims_axis)           # [P, R]
+        best_t = jnp.min(ts, axis=0)
+        # largest global triangle index wins exact-t ties (last-wins rule)
+        best_i = jnp.max(jnp.where(ts == best_t[None, :], idxs, -1), axis=0)
+    else:
+        best_t, best_i = _closest_tris_sweep(
+            o, d, tmax, scene.vertices, scene.tris, scene.tri_mask, tri_tile)
 
     # spheres: tested after all triangles (ctor order,
     # bounding_volume_hierarchy.cpp:158-171); accept strictly < current best.
@@ -196,7 +222,8 @@ def closest_hit(scene, o, d, tmax, tri_tile: int = 512) -> HitIds:
 
 
 def closest_hit_chunked(scene, o, d, tmax, ray_chunk: int = 2048,
-                        tri_tile: int = 512) -> HitIds:
+                        tri_tile: int = 512, prims_axis=None,
+                        prims_axis_size: int = 1) -> HitIds:
     """Memory-bounded closest hit: pads rays to a multiple of ray_chunk and
     lax.map's chunks through `closest_hit`."""
     R = o.shape[0]
@@ -208,7 +235,8 @@ def closest_hit_chunked(scene, o, d, tmax, ray_chunk: int = 2048,
 
     def run(chunk):
         oo, dd, tt = chunk
-        return closest_hit(scene, oo, dd, tt, tri_tile)
+        return closest_hit(scene, oo, dd, tt, tri_tile,
+                           prims_axis, prims_axis_size)
 
     res = jax.lax.map(run, (o_p.reshape(n_chunks, ray_chunk, 3),
                             d_p.reshape(n_chunks, ray_chunk, 3),

@@ -29,13 +29,31 @@ def _normalize(v):
 def cpp_pow(base, exp):
     """IEC 60559 pow(): negative base allowed for integral exponents
     (result sign = parity of exponent), NaN for non-integral exponents.
-    jnp.power would return NaN for all negative bases."""
+    jnp.power would return NaN for all negative bases.
+
+    Grad-safe ("double where"): the inner power only ever sees a strictly
+    positive base so reverse-mode never produces 0 * inf / log(<=0) NaNs."""
+    val, nan_mask = cpp_pow_masked(base, exp)
+    return jnp.where(nan_mask, jnp.nan, val)
+
+
+def cpp_pow_masked(base, exp):
+    """Like cpp_pow but returns (finite_value, nan_mask) so callers can keep
+    products NaN-free (a forward NaN times a zero cotangent poisons grads)
+    and inject the parity NaN via a select at the very end."""
     ip = jnp.round(exp)
     is_int = exp == ip
     odd = jnp.abs(jnp.mod(ip, 2.0)) == 1.0
-    mag = jnp.power(jnp.abs(base), exp)
-    neg_val = jnp.where(is_int, jnp.where(odd, -mag, mag), jnp.nan)
-    return jnp.where(base < 0, neg_val, jnp.power(base, exp))
+    absb = jnp.abs(base)
+    nonzero = absb > 0
+    mag = jnp.power(jnp.where(nonzero, absb, 1.0), exp)
+    # pow(0, exp): 1 for exp == 0, 0 for exp > 0, inf for exp < 0
+    zero_val = jnp.where(exp == 0, 1.0, jnp.where(exp > 0, 0.0, jnp.inf))
+    mag = jnp.where(nonzero, mag, zero_val)
+    neg = base < 0
+    val = jnp.where(neg & odd & is_int, -mag, mag)
+    nan_mask = neg & ~is_int
+    return val, nan_mask
 
 
 def compute_shading(light_pos, light_color, ray_o, ray_d, ray_t,
@@ -55,10 +73,13 @@ def compute_shading(light_pos, light_color, ray_o, ray_d, ray_t,
     camera = _normalize(ray_d)
     gate = (ndl > 0) & (_dot(n, camera) > 0)
     reflection = 2.0 * ndl[..., None] * n - light
-    spec_d = cpp_pow(_dot(camera, reflection), shininess)
-    spec_d = jnp.where(gate, spec_d, 0.0)
+    spec_raw, spec_nan = cpp_pow_masked(_dot(camera, reflection), shininess)
+    spec_d = jnp.where(gate, spec_raw, 0.0)
     specular = ks * light_color * spec_d[..., None]
-    return diffuse + specular
+    out = diffuse + specular
+    # parity NaN (std::pow(negative, non-integral)) injected via select so
+    # the finite compute graph keeps clean gradients
+    return jnp.where((gate & spec_nan)[..., None], jnp.nan, out)
 
 
 def compute_reflection_ray(ray_o, ray_d, ray_t, normal, ks):

@@ -46,7 +46,8 @@ def shadow_visibility(scene, ray_o, ray_d, ray_t, sample_pos, features, params):
     sdir = sample_pos - p
     tmax = jnp.ones(p.shape[0], jnp.float32)
     res = closest_hit_chunked(scene, p, sdir, tmax,
-                              params.ray_tile, params.tri_tile)
+                              params.ray_tile, params.tri_tile,
+                              params.prims_axis, params.prims_axis_size)
     if features.enable_transparency:
         tri_tr = scene.mat_transparency[scene.tri_mat[res.prim]]
         sph_tr = scene.mat_transparency[scene.sph_mat[res.prim]]

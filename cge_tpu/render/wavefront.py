@@ -95,8 +95,11 @@ def hit_attributes(scene, o, d, ids: HitIds, features) -> HitAttrs:
     oc = o - ctr
     b = 2.0 * _dot(d, oc)
     c = _dot(oc, oc) - rad * rad
-    disc = jnp.maximum(b * b - 4.0 * c, 0.0)
-    sq = jnp.sqrt(disc)
+    disc = b * b - 4.0 * c
+    # double-where: sqrt only sees strictly positive values so its backward
+    # never yields 0/0 NaN for the (masked-out) non-sphere rays
+    disc_pos = disc > 0
+    sq = jnp.where(disc_pos, jnp.sqrt(jnp.where(disc_pos, disc, 1.0)), 0.0)
     t0 = (-b - sq) / 2.0
     t1 = (-b + sq) / 2.0
     t_sph = jnp.where(_sg(t0) >= 0, t0, t1)
@@ -149,7 +152,9 @@ def hit_attributes(scene, o, d, ids: HitIds, features) -> HitAttrs:
 def _intersect_and_shade(scene, o, d, features, params, key):
     """One bounce: closest hit, attributes, local radiance."""
     tmax = jnp.full(o.shape[0], jnp.inf, jnp.float32)
-    ids = closest_hit_chunked(scene, o, d, tmax, params.ray_tile, params.tri_tile)
+    ids = closest_hit_chunked(scene, o, d, tmax, params.ray_tile,
+                              params.tri_tile, params.prims_axis,
+                              params.prims_axis_size)
     attrs = hit_attributes(scene, o, d, ids, features)
     local = light_contribution(scene, o, d, attrs.t, attrs.normal, attrs.kd,
                                attrs.ks, attrs.shininess, features, params, key)

@@ -75,6 +75,10 @@ class RenderParams:
     ray_tile: int = 2048
     # triangles per tile in the intersection scan
     tri_tile: int = 512
+    # mesh-axis name/size for primitive-sharded closest hit (the TP analogue;
+    # set inside shard_map when the mesh has a 'prims' axis)
+    prims_axis: str | None = None
+    prims_axis_size: int = 1
 
     def replace(self, **kw) -> "RenderParams":
         return dataclasses.replace(self, **kw)

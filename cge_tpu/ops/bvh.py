@@ -203,7 +203,8 @@ def build_reference_bvh(scene, sah_binning: bool = False) -> ReferenceBVH:
 # 2. TPU cluster accel
 # ---------------------------------------------------------------------------
 
-def build_clusters(scene, cluster_size: int = CLUSTER_SIZE) -> np.ndarray:
+def build_clusters(vertices, tris, tri_mask,
+                   cluster_size: int = CLUSTER_SIZE) -> np.ndarray:
     """Partition the scene's triangles into spatially-coherent clusters of
     <= cluster_size via largest-extent median splits.
 
@@ -212,9 +213,9 @@ def build_clusters(scene, cluster_size: int = CLUSTER_SIZE) -> np.ndarray:
     keeps neighbouring clusters spatially close for block-level culling.
     Spheres are not clustered (they are swept separately; scenes have few).
     """
-    v = np.asarray(scene.vertices)
-    t = np.asarray(scene.tris)
-    mask = np.asarray(scene.tri_mask)
+    v = np.asarray(vertices)
+    t = np.asarray(tris)
+    mask = np.asarray(tri_mask)
     ids = np.nonzero(mask)[0].astype(np.int32)
     if len(ids) == 0:
         return np.full((1, cluster_size), -1, np.int32)

@@ -141,6 +141,26 @@ class HitIds(NamedTuple):
     prim: jax.Array       # [R] i32 (triangle index or sphere index)
 
 
+class Accel(NamedTuple):
+    """Device-side acceleration structure: the cluster permutation plus the
+    packed Pallas tile stack (built once per trace, reused by every bounce
+    and shadow sweep). Entirely under stop_gradient — hit *selection* is
+    discrete; differentiable quantities are recomputed from the ids
+    (cge_tpu.render.wavefront.hit_attributes)."""
+
+    perm: jax.Array   # [L, C] i32 triangle ids, -1 pad
+    tiles: jax.Array  # [L, 8+C, 16] f32 (pack_cluster_tiles layout)
+
+
+def build_accel(scene) -> Accel:
+    """Pack the scene's cluster accel for the Pallas culled sweep."""
+    from cge_tpu.ops.pallas.cluster_sweep import pack_cluster_tiles
+    sg = jax.lax.stop_gradient
+    perm = scene.cluster_perm
+    tiles = pack_cluster_tiles(sg(scene.vertices), scene.tris, perm)
+    return Accel(perm=perm, tiles=tiles)
+
+
 def _closest_tris_sweep(o, d, tmax, vertices, tris, mask, tri_tile: int,
                         idx_offset=0):
     """Scan over triangle tiles; returns (t [R], idx [R]) with last-wins ties.
@@ -184,12 +204,18 @@ def _on_tpu() -> bool:
 
 def closest_hit(scene, o, d, tmax, tri_tile: int = 512,
                 prims_axis=None, prims_axis_size: int = 1,
-                use_pallas=None) -> HitIds:
-    """Brute-force closest hit over all primitives of the scene.
+                use_pallas=None, accel: Accel | None = None) -> HitIds:
+    """Closest hit over all primitives of the scene.
 
     Replicates the reference's acceptance + tie rules (see module docstring).
     Triangle t is in units of |d| (the kernels never normalize); sphere t
     assumes |d| == 1.
+
+    When `accel` is given (and on TPU), the cluster-culled Pallas sweep is
+    used: identical accept rules, but exact-t ties resolve in cluster order
+    instead of scene order — the same class of divergence the reference's own
+    BVH-on traversal has vs its brute loop (SURVEY.md §2.5 #11). On non-TPU
+    backends accel falls back to the brute sweep.
 
     When prims_axis is set (inside shard_map over a mesh axis of size
     prims_axis_size — the tensor-parallel analogue), each device sweeps a
@@ -199,6 +225,12 @@ def closest_hit(scene, o, d, tmax, tri_tile: int = 512,
     """
     if use_pallas is None:
         use_pallas = _on_tpu()
+    # closest-hit is a discrete selection oracle: every differentiable
+    # quantity is recomputed from the returned ids by the caller, so the ray
+    # inputs carry stop_gradient (also keeps the non-differentiable Pallas
+    # kernels out of JVP traces).
+    sg = jax.lax.stop_gradient
+    o, d, tmax = sg(o), sg(d), sg(tmax)
 
     def sweep(tris, mask, idx_offset):
         if use_pallas:
@@ -210,7 +242,11 @@ def closest_hit(scene, o, d, tmax, tri_tile: int = 512,
         return _closest_tris_sweep(o, d, tmax, scene.vertices, tris, mask,
                                    tri_tile, idx_offset=idx_offset)
 
-    if prims_axis is not None:
+    if accel is not None and use_pallas and prims_axis is None:
+        from cge_tpu.ops.pallas.cluster_sweep import pallas_cluster_tris
+        best_t, best_i = pallas_cluster_tris(o, d, tmax, accel.tiles,
+                                             accel.perm)
+    elif prims_axis is not None:
         T = scene.tris.shape[0]
         assert T % prims_axis_size == 0, "pad tris to a multiple of the axis"
         shard = T // prims_axis_size
@@ -245,7 +281,8 @@ def closest_hit(scene, o, d, tmax, tri_tile: int = 512,
 
 def closest_hit_chunked(scene, o, d, tmax, ray_chunk: int = 2048,
                         tri_tile: int = 512, prims_axis=None,
-                        prims_axis_size: int = 1) -> HitIds:
+                        prims_axis_size: int = 1,
+                        accel: Accel | None = None) -> HitIds:
     """Memory-bounded closest hit.
 
     On TPU the Pallas sweep kernel bounds VMEM via its own grid, so the
@@ -254,7 +291,8 @@ def closest_hit_chunked(scene, o, d, tmax, ray_chunk: int = 2048,
     `closest_hit` to bound the [rays, tri_tile] intermediates."""
     if _on_tpu():
         return closest_hit(scene, o, d, tmax, tri_tile,
-                           prims_axis, prims_axis_size, use_pallas=True)
+                           prims_axis, prims_axis_size, use_pallas=True,
+                           accel=accel)
     R = o.shape[0]
     n_chunks = max(1, -(-R // ray_chunk))
     pad = n_chunks * ray_chunk - R

@@ -30,12 +30,14 @@ def _norm(v):
     return jnp.linalg.norm(v, axis=-1, keepdims=True)
 
 
-def shadow_visibility(scene, ray_o, ray_d, ray_t, sample_pos, features, params):
+def shadow_visibility(scene, ray_o, ray_d, ray_t, sample_pos, features,
+                      params, alive=None, accel=None):
     """testVisibilityLightSample (light.cpp:49-73), batched.
 
     ray_o/ray_d: [N,3] the *shaded* ray; ray_t: [N] its hit parameter (in
     units of |d|); sample_pos: [N,3] light sample positions.
-    Returns visibility [N] in [0,1].
+    alive: optional [N] bool — dead rays get a -1 t budget (guaranteed miss,
+    lets the cluster sweep skip their tiles). Returns visibility [N] in [0,1].
     """
     if not (features.enable_hard_shadow or features.enable_soft_shadow):
         return jnp.ones(ray_o.shape[0], jnp.float32)
@@ -44,10 +46,14 @@ def shadow_visibility(scene, ray_o, ray_d, ray_t, sample_pos, features, params):
     t_norm = ray_t * dlen[..., 0]
     p = ray_o + dhat * (t_norm - 1e-5)[..., None]
     sdir = sample_pos - p
-    tmax = jnp.ones(p.shape[0], jnp.float32)
+    if alive is None:
+        tmax = jnp.ones(p.shape[0], jnp.float32)
+    else:
+        tmax = jnp.where(alive, 1.0, -1.0)
     res = closest_hit_chunked(scene, p, sdir, tmax,
                               params.ray_tile, params.tri_tile,
-                              params.prims_axis, params.prims_axis_size)
+                              params.prims_axis, params.prims_axis_size,
+                              accel=accel)
     if features.enable_transparency:
         tri_tr = scene.mat_transparency[scene.tri_mat[res.prim]]
         sph_tr = scene.mat_transparency[scene.sph_mat[res.prim]]
@@ -77,10 +83,11 @@ def sample_parallelogram_light(v0, e01, e02, c0, c1, c2, c3,
 
 
 def light_contribution(scene, ray_o, ray_d, ray_t, normal, kd, ks, shininess,
-                       features, params, key):
+                       features, params, key, alive=None, accel=None):
     """computeLightContribution (light.cpp:108-165), batched over rays [N].
 
-    Returns radiance [N, 3]. Caller guards the hit mask.
+    Returns radiance [N, 3]. Caller guards the hit mask; `alive` additionally
+    masks the shadow sweeps (dead rays cost nothing in the cluster kernel).
     """
     N = ray_o.shape[0]
     if not features.enable_shading:
@@ -93,7 +100,7 @@ def light_contribution(scene, ray_o, ray_d, ray_t, normal, kd, ks, shininess,
                              normal, kd, ks, shininess)
         if want_vis:
             vis = shadow_visibility(scene, ray_o, ray_d, ray_t, sample_pos,
-                                    features, params)
+                                    features, params, alive, accel)
             return sh * vis[..., None]
         return sh
 
@@ -126,8 +133,10 @@ def light_contribution(scene, ray_o, ray_d, ray_t, normal, kd, ks, shininess,
             sh_f = jnp.repeat(shininess, SS, axis=0)
             pos_f = pos.reshape(-1, 3)
             col_f = col.reshape(-1, 3)
+            a_f = None if alive is None else jnp.repeat(alive, SS, axis=0)
             sh = compute_shading(pos_f, col_f, o_f, d_f, t_f, n_f, kd_f, ks_f, sh_f)
-            vis = shadow_visibility(scene, o_f, d_f, t_f, pos_f, features, params)
+            vis = shadow_visibility(scene, o_f, d_f, t_f, pos_f, features,
+                                    params, a_f, accel)
             contrib = (sh * vis[..., None]).reshape(N, SS, 3).sum(axis=1) / SS
             result = result + jnp.where(scene.seg_mask[li], contrib, 0.0)
 
@@ -156,8 +165,10 @@ def light_contribution(scene, ray_o, ray_d, ray_t, normal, kd, ks, shininess,
             sh_f = jnp.repeat(shininess, M, axis=0)
             pos_f = pos.reshape(-1, 3)
             col_f = col.reshape(-1, 3)
+            a_f = None if alive is None else jnp.repeat(alive, M, axis=0)
             sh = compute_shading(pos_f, col_f, o_f, d_f, t_f, n_f, kd_f, ks_f, sh_f)
-            vis = shadow_visibility(scene, o_f, d_f, t_f, pos_f, features, params)
+            vis = shadow_visibility(scene, o_f, d_f, t_f, pos_f, features,
+                                    params, a_f, accel)
             contrib = (sh * vis[..., None]).reshape(N, M, 3).sum(axis=1) / M
             result = result + jnp.where(scene.par_mask[li], contrib, 0.0)
 

@@ -31,7 +31,33 @@ def _trace_rays(scene, o, d, features, params, key):
     # (TpuPriorityFusionQueue::NormalizedComputationCost) at some shapes;
     # materializing the rays sidesteps it at negligible cost.
     o, d = jax.lax.optimization_barrier((o, d))
-    return trace(scene, o, d, features, params, key)
+    N = o.shape[0]
+    C = params.trace_chunk
+    if N <= C:
+        return trace(scene, o, d, features, params, key)
+    # Chunk big wavefronts through one compiled trace body (lax.map): XLA
+    # compile time and VMEM footprint stay bounded by the chunk shape
+    # instead of growing with resolution. The packed cluster tiles are
+    # built once and shared across chunks. Chunking changes the threefry
+    # stream of the stochastic features (keys fold in the chunk index) —
+    # same distribution, different samples.
+    from cge_tpu.render.wavefront import scene_accel
+    accel = scene_accel(scene, features)
+    pad = (-N) % C
+    # pad direction with a unit vector so the dead rows stay NaN-free
+    o_p = jnp.pad(o, ((0, pad), (0, 0)))
+    d_p = jnp.pad(d, ((0, pad), (0, 0)),
+                  constant_values=0.0).at[N:, 2].set(1.0)
+    nc = (N + pad) // C
+
+    def body(args):
+        i, oo, dd = args
+        return trace(scene, oo, dd, features, params,
+                     jax.random.fold_in(key, i), accel=accel)
+
+    cols = jax.lax.map(body, (jnp.arange(nc),
+                              o_p.reshape(nc, C, 3), d_p.reshape(nc, C, 3)))
+    return cols.reshape(-1, 3)[:N]
 
 
 def _render_impl(scene, camera: Camera, features: Features,

@@ -36,7 +36,8 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from cge_tpu.ops.intersect import HitIds, closest_hit_chunked, triangle_plane
+from cge_tpu.ops.intersect import (Accel, HitIds, _on_tpu, build_accel,
+                                   closest_hit_chunked, triangle_plane)
 from cge_tpu.ops.interpolate import (barycentric_coord, interpolate_normal,
                                      interpolate_texcoord)
 from cge_tpu.ops.shading import compute_reflection_ray
@@ -149,17 +150,48 @@ def hit_attributes(scene, o, d, ids: HitIds, features) -> HitAttrs:
                     shininess=shininess, transparency=transparency)
 
 
-def _intersect_and_shade(scene, o, d, features, params, key):
-    """One bounce: closest hit, attributes, local radiance."""
-    tmax = jnp.full(o.shape[0], jnp.inf, jnp.float32)
+def _intersect_and_shade(scene, o, d, features, params, key,
+                         alive=None, accel: Accel | None = None):
+    """One bounce: closest hit, attributes, local radiance.
+
+    alive: optional [N] bool — dead rays get tmax = -1, which both sweep
+    paths treat as an unconditional miss and the cluster kernel exploits to
+    skip whole tiles (its block cull requires a live ray)."""
+    N = o.shape[0]
+    if alive is None:
+        tmax = jnp.full(N, jnp.inf, jnp.float32)
+    else:
+        tmax = jnp.where(alive, jnp.inf, -1.0)
     ids = closest_hit_chunked(scene, o, d, tmax, params.ray_tile,
                               params.tri_tile, params.prims_axis,
-                              params.prims_axis_size)
+                              params.prims_axis_size, accel=accel)
     attrs = hit_attributes(scene, o, d, ids, features)
     local = light_contribution(scene, o, d, attrs.t, attrs.normal, attrs.kd,
-                               attrs.ks, attrs.shininess, features, params, key)
+                               attrs.ks, attrs.shininess, features, params,
+                               key, alive=jnp.asarray(attrs.hit)
+                               if alive is None else (alive & attrs.hit),
+                               accel=accel)
     local = jnp.where(attrs.hit[:, None], local, 0.0)
     return attrs, local
+
+
+def _dead_attrs(N):
+    """Placeholder bounce output for levels with no live ray (every value is
+    masked out by live_hit downstream)."""
+    z = jnp.zeros(N, jnp.float32)
+    z3 = jnp.zeros((N, 3), jnp.float32)
+    attrs = HitAttrs(hit=jnp.zeros(N, bool), t=z, normal=z3, kd=z3, ks=z3,
+                     shininess=z, transparency=jnp.ones(N, jnp.float32))
+    return attrs, z3
+
+
+def scene_accel(scene, features) -> Accel | None:
+    """Build the cluster accel once per trace (TPU only; the XLA fallback
+    sweeps brute-force regardless, so skip the packing work elsewhere)."""
+    if features.enable_accel_structure and _on_tpu() \
+            and scene.cluster_perm is not None:
+        return build_accel(scene)
+    return None
 
 
 def _chain_coefficients(attrs: HitAttrs, depth_remaining, features):
@@ -226,7 +258,8 @@ def _unroll_depth(scene, params, features) -> int:
 
 
 def _scan_chain(scene, o, d, W, acc, features, params, key,
-                start_level: int, n_levels: int, tail_trans: bool = False):
+                start_level: int, n_levels: int, tail_trans: bool = False,
+                accel: Accel | None = None):
     """Run n_levels affine-chain bounces as one lax.scan (single compiled
     body — a 12x-unrolled python loop trips XLA:CPU's MLIR limits and bloats
     TPU compile time).
@@ -242,7 +275,14 @@ def _scan_chain(scene, o, d, W, acc, features, params, key,
     def body(carry, level):
         o, d, W, acc, alive = carry
         k = jax.random.fold_in(key, level)
-        attrs, local = _intersect_and_shade(scene, o, d, features, params, k)
+        # whole-level skip: once every ray is dead (e.g. an all-diffuse
+        # scene past bounce 0) the remaining scan levels cost one predicate
+        attrs, local = jax.lax.cond(
+            jnp.any(alive),
+            lambda o, d, alive: _intersect_and_shade(
+                scene, o, d, features, params, k, alive, accel),
+            lambda o, d, alive: _dead_attrs(o.shape[0]),
+            o, d, alive)
         live_hit = alive & attrs.hit
         depth_remaining = params.ray_depth - level
         if tail_trans:
@@ -266,7 +306,7 @@ def _scan_chain(scene, o, d, W, acc, features, params, key,
     return acc
 
 
-def trace_chain(scene, o, d, features, params, key):
+def trace_chain(scene, o, d, features, params, key, accel=None):
     """Linear-chain wavefront trace (all modes except TRANS+REC and glossy).
 
     o, d: [N, 3]. Returns radiance [N, 3].
@@ -275,10 +315,12 @@ def trace_chain(scene, o, d, features, params, key):
     acc = jnp.zeros((N, 3), jnp.float32)
     W = jnp.ones(N, jnp.float32)
     unroll = _unroll_depth(scene, params, features)
-    return _scan_chain(scene, o, d, W, acc, features, params, key, 0, unroll)
+    return _scan_chain(scene, o, d, W, acc, features, params, key, 0, unroll,
+                       accel=accel)
 
 
-def trace_tree_trans_recursive(scene, o, d, features, params, key, level=0):
+def trace_tree_trans_recursive(scene, o, d, features, params, key, level=0,
+                               accel: Accel | None = None):
     """TRANS + REC (glossy off): two distinct children per bounce.
 
     result = (1-t)*(local + g1*RT(mirror) + g2*RT(cont)) + t*RT(cont)
@@ -294,9 +336,10 @@ def trace_tree_trans_recursive(scene, o, d, features, params, key, level=0):
         tail = _unroll_depth(scene, params, features) - level
         return _scan_chain(scene, o, d, jnp.ones(N, jnp.float32),
                            jnp.zeros((N, 3), jnp.float32), features, params,
-                           key, level, tail, tail_trans=True)
+                           key, level, tail, tail_trans=True, accel=accel)
     k = jax.random.fold_in(key, level)
-    attrs, local = _intersect_and_shade(scene, o, d, features, params, k)
+    attrs, local = _intersect_and_shade(scene, o, d, features, params, k,
+                                        accel=accel)
     valid_mirror = jnp.any(attrs.ks != 0.0, axis=-1)
     t_mat = attrs.transparency
     trans_ne1 = t_mat != 1.0
@@ -315,9 +358,11 @@ def trace_tree_trans_recursive(scene, o, d, features, params, key, level=0):
     g2 = jnp.where(valid2, 1.0, 0.0)
 
     child_mirror = trace_tree_trans_recursive(
-        scene, mo, md, features, params, jax.random.fold_in(k, 7), level + 1)
+        scene, mo, md, features, params, jax.random.fold_in(k, 7), level + 1,
+        accel=accel)
     child_second = trace_tree_trans_recursive(
-        scene, so, sd, features, params, jax.random.fold_in(k, 11), level + 1)
+        scene, so, sd, features, params, jax.random.fold_in(k, 11), level + 1,
+        accel=accel)
     child_mirror = jnp.where(valid_mirror[:, None], child_mirror, 0.0)
     child_second = jnp.where(valid2[:, None], child_second, 0.0)
 
@@ -359,7 +404,7 @@ def _glossy_sample_dirs(attrs, md, n_samples, params, key):
     return dirs, above
 
 
-def trace_glossy(scene, o, d, features, params, key):
+def trace_glossy(scene, o, d, features, params, key, accel=None):
     """Glossy reflections (render.cpp:56-99), wavefront form.
 
     Reference semantics per bounce (glossy feature on, material shininess
@@ -380,7 +425,8 @@ def trace_glossy(scene, o, d, features, params, key):
     N = o.shape[0]
     S = params.rays_per_reflection
     k0 = jax.random.fold_in(key, 0)
-    attrs, local = _intersect_and_shade(scene, o, d, features, params, k0)
+    attrs, local = _intersect_and_shade(scene, o, d, features, params, k0,
+                                        accel=accel)
     valid_mirror = jnp.any(attrs.ks != 0.0, axis=-1)
     glossy_active = valid_mirror & (attrs.shininess != 0.0)
     mo, md, _ = compute_reflection_ray(o, d, attrs.t, attrs.normal, attrs.ks)
@@ -414,8 +460,14 @@ def trace_glossy(scene, o, d, features, params, key):
     def body(carry, level):
         o, d, W, depth, acc = carry
         k = jax.random.fold_in(key, 1000 + level)
-        attrs, local = _intersect_and_shade(scene, o, d, features, params, k)
-        alive = jnp.any(W != 0.0, axis=-1) & attrs.hit
+        live_in = jnp.any(W != 0.0, axis=-1)
+        attrs, local = jax.lax.cond(
+            jnp.any(live_in),
+            lambda o, d, a: _intersect_and_shade(scene, o, d, features,
+                                                 params, k, a, accel),
+            lambda o, d, a: _dead_attrs(o.shape[0]),
+            o, d, live_in)
+        alive = live_in & attrs.hit
         acc = acc + jnp.where(alive[:, None], W * local, 0.0)
         vm = jnp.any(attrs.ks != 0.0, axis=-1)
         ga = vm & (attrs.shininess != 0.0)
@@ -444,10 +496,17 @@ def trace_glossy(scene, o, d, features, params, key):
     return jnp.where(attrs.hit[:, None], lo, 0.0)
 
 
-def trace(scene, o, d, features, params, key):
-    """Dispatch to the right statically-specialized trace shape."""
+def trace(scene, o, d, features, params, key, accel=None):
+    """Dispatch to the right statically-specialized trace shape.
+
+    accel: pass a prebuilt Accel to share the packed cluster tiles across
+    chunked trace calls (cge_tpu.render.renderer); None builds one here.
+    """
+    if accel is None:
+        accel = scene_accel(scene, features)
     if features.enable_recursive and features.enable_glossy_reflection:
-        return trace_glossy(scene, o, d, features, params, key)
+        return trace_glossy(scene, o, d, features, params, key, accel=accel)
     if features.enable_recursive and features.enable_transparency:
-        return trace_tree_trans_recursive(scene, o, d, features, params, key)
-    return trace_chain(scene, o, d, features, params, key)
+        return trace_tree_trans_recursive(scene, o, d, features, params, key,
+                                          accel=accel)
+    return trace_chain(scene, o, d, features, params, key, accel=accel)

@@ -162,6 +162,10 @@ class SceneArrays:
     par_c2: jax.Array
     par_c3: jax.Array
     par_mask: jax.Array     # [LQ] bool
+    # acceleration: triangle ids grouped into spatially-coherent clusters
+    # (cge_tpu.ops.bvh.build_clusters); [L, C] i32, -1 = pad. Consumed by the
+    # Pallas cluster-sweep kernel when Features.enable_accel_structure is on.
+    cluster_perm: jax.Array = None
     # static metadata (not traced): True iff every material is opaque —
     # picks the bounce-loop unroll depth at trace time.
     all_opaque: bool = dataclasses.field(
@@ -300,8 +304,11 @@ def build_scene_arrays(
 
     import jax.numpy as jnp
 
+    from cge_tpu.ops.bvh import build_clusters
+
     j = jnp.asarray
     return SceneArrays(
+        cluster_perm=j(build_clusters(V, T, tri_mask)),
         vertices=j(V), normals=j(N), uvs=j(UV), tris=j(T), tri_mat=j(TM),
         tri_mask=j(tri_mask),
         mat_kd=j(kd), mat_ks=j(ks), mat_shininess=j(sh),

@@ -73,6 +73,9 @@ class RenderParams:
     extra_transparency_unroll: int = 6
     # rays per tile for the chunked intersection sweep
     ray_tile: int = 2048
+    # rays per compiled trace body: bigger wavefronts are lax.map-chunked at
+    # this size so XLA compile time / VMEM stay resolution-independent
+    trace_chunk: int = 65536
     # triangles per tile in the intersection scan
     tri_tile: int = 512
     # mesh-axis name/size for primitive-sharded closest hit (the TP analogue;

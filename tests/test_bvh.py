@@ -97,7 +97,7 @@ def test_debug_level_and_leaf_api(cornell):
 # ---------------------------------------------------------------------------
 
 def test_build_clusters_covers_all(monkey):
-    perm = build_clusters(monkey, cluster_size=128)
+    perm = build_clusters(monkey.vertices, monkey.tris, monkey.tri_mask, cluster_size=128)
     valid = perm[perm >= 0]
     want = np.nonzero(np.asarray(monkey.tri_mask))[0]
     assert sorted(valid.tolist()) == sorted(want.tolist())
@@ -113,7 +113,7 @@ def test_cluster_sweep_matches_brute(scene_type):
     bt, bi = _closest_tris_sweep(o, d, tmax, scene.vertices, scene.tris,
                                  scene.tri_mask, 512)
 
-    perm = jnp.asarray(build_clusters(scene, cluster_size=128))
+    perm = jnp.asarray(build_clusters(scene.vertices, scene.tris, scene.tri_mask, cluster_size=128))
     tiles = pack_cluster_tiles(scene.vertices, scene.tris, perm)
     ct, ci = pallas_cluster_tris(o, d, tmax, tiles, perm, br=128,
                                  interpret=True)
@@ -135,7 +135,7 @@ def test_cluster_sweep_respects_tmax(cornell):
     o, d = _rays(cornell, 8)
     # a tiny budget kills every hit
     tmax = jnp.full(o.shape[0], 1e-6, jnp.float32)
-    perm = jnp.asarray(build_clusters(cornell))
+    perm = jnp.asarray(build_clusters(cornell.vertices, cornell.tris, cornell.tri_mask))
     tiles = pack_cluster_tiles(cornell.vertices, cornell.tris, perm)
     ct, ci = pallas_cluster_tris(o, d, tmax, tiles, perm, br=128,
                                  interpret=True)

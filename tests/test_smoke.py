@@ -49,3 +49,16 @@ def test_cornell_phong_renders():
     finite = np.isfinite(img).all(axis=-1)
     assert finite.mean() > 0.5
     assert (np.nan_to_num(img).sum(axis=-1) > 0).any()
+
+
+def test_chunked_trace_matches_unchunked():
+    """lax.map chunking (params.trace_chunk) must not change deterministic
+    renders: same rays, same scene, different wavefront partitioning."""
+    scene = load_scene_prebuilt(SceneType.CornellBox)
+    cam = Camera()
+    feats = Features(enable_shading=True, enable_hard_shadow=True,
+                     enable_recursive=True)
+    a = np.asarray(render_image(scene, cam, feats, RenderParams(), 32, 32))
+    b = np.asarray(render_image(
+        scene, cam, feats, RenderParams(trace_chunk=256), 32, 32))
+    np.testing.assert_array_equal(np.nan_to_num(a), np.nan_to_num(b))

@@ -20,9 +20,11 @@ through a bounded, statically-unrolled bounce loop over the whole ray batch.
 __version__ = "0.1.0"
 
 from cge_tpu.types import Features, RenderParams
-from cge_tpu.scene.scene import SceneArrays, load_scene_prebuilt, SceneType
+from cge_tpu.scene.scene import (SceneArrays, load_scene_from_file,
+                                 load_scene_prebuilt, SceneType)
 from cge_tpu.camera import Camera
 from cge_tpu.render.renderer import render_image
+from cge_tpu.config import CameraConfig, Config, read_config_file
 
 __all__ = [
     "Features",
@@ -30,6 +32,10 @@ __all__ = [
     "SceneArrays",
     "SceneType",
     "load_scene_prebuilt",
+    "load_scene_from_file",
     "Camera",
+    "CameraConfig",
+    "Config",
+    "read_config_file",
     "render_image",
 ]

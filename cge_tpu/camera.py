@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import dataclasses
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -47,25 +48,31 @@ def quat_rotate(q, v):
     return v + 2.0 * (w * uv + uuv)
 
 
+@jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class Camera:
-    """Static camera parameters (radians). Mirrors CameraConfig
+    """Camera parameters (radians). Mirrors CameraConfig
     (/root/reference/src/config.h:16-21) after the degrees→radians conversion
-    done at src/main.cpp:518-519."""
+    done at src/main.cpp:518-519.
 
-    fovy: float = np.radians(50.0)
+    Registered as a pytree so it traces through jit: one compiled render
+    executable serves every camera (the CLI renders N cameras without N
+    recompiles — the TPU analogue of the reference's per-camera threads,
+    src/main.cpp:512-531)."""
+
+    fovy: float = float(np.radians(50.0))
     distance: float = 3.0
     look_at: tuple = (0.0, 0.0, 0.0)
-    rotation: tuple = (np.radians(20.0), np.radians(20.0), 0.0)
+    rotation: tuple = (float(np.radians(20.0)), float(np.radians(20.0)), 0.0)
     aspect: float = 1.0
 
     @property
-    def half_screen_h(self) -> float:
-        return float(np.tan(self.fovy / 2.0))
+    def half_screen_h(self):
+        return jnp.tan(jnp.asarray(self.fovy, jnp.float32) / 2.0)
 
     @property
-    def half_screen_w(self) -> float:
-        return float(self.aspect * np.tan(self.fovy / 2.0))
+    def half_screen_w(self):
+        return self.aspect * self.half_screen_h
 
     def position(self):
         """trackball.cpp:71-74."""

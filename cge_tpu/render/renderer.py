@@ -107,8 +107,10 @@ def _render_impl(scene, camera: Camera, features: Features,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("camera", "features", "params", "width", "height"))
+    static_argnames=("features", "params", "width", "height"))
 def render_image(scene, camera: Camera, features: Features,
                  params: RenderParams, width: int, height: int, seed=0):
-    """Render [height, width, 3] f32 radiance, row 0 = top."""
+    """Render [height, width, 3] f32 radiance, row 0 = top.
+
+    camera is a traced pytree: different cameras reuse one executable."""
     return _render_impl(scene, camera, features, params, width, height, seed)

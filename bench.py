@@ -62,6 +62,14 @@ def reference_ms() -> float:
 
 def main():
     sys.path.insert(0, REPO)
+    import jax
+
+    # persistent executable cache: compiles through the axon tunnel are slow
+    # and highly variable; cache them across bench runs
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(REPO, ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
     import numpy as np
 
     from cge_tpu import (Camera, Features, RenderParams, SceneType,

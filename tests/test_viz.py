@@ -1,0 +1,63 @@
+"""Tests for the debug-visualization exports (cge_tpu.viz)."""
+
+import numpy as np
+
+from cge_tpu import Camera, Features, RenderParams, SceneType, \
+    load_scene_prebuilt
+from cge_tpu.camera import pixel_grid
+from cge_tpu.ops.bvh import build_reference_bvh
+from cge_tpu.viz import (aabb_segments, debug_trace, draw_segments,
+                         normal_segments, project_points)
+
+
+def test_debug_trace_levels():
+    scene = load_scene_prebuilt(SceneType.CornellBox)
+    cam = Camera()
+    # shoot the center pixel + a guaranteed-miss ray
+    o, d = cam.generate_rays(np.array([[0.0, 0.0], [0.99, 0.99]], np.float32))
+    feats = Features(enable_shading=True, enable_hard_shadow=True,
+                     enable_recursive=True)
+    levels = debug_trace(scene, o, d, feats, RenderParams())
+    assert 1 <= len(levels) <= 6
+    l0 = levels[0]
+    assert l0.hit[0]                       # center ray hits the box
+    assert (l0.color[~l0.hit] == np.array([1, 0, 0], np.float32)).all()
+    assert (l0.t[~l0.hit] == 100.0).all()  # drawRay miss clamp
+
+
+def test_project_points_roundtrip():
+    """generate_rays -> march along the ray -> project back: must land on
+    the originating pixel (validates the -x quirk inversion)."""
+    cam = Camera()
+    W = H = 64
+    ndc = np.array([[-0.5, 0.25], [0.3, -0.7]], np.float32)
+    o, d = cam.generate_rays(ndc)
+    pts = np.asarray(o) + 2.0 * np.asarray(d)
+    px, in_front = project_points(cam, pts, W, H)
+    assert in_front.all()
+    want_x = (ndc[:, 0] + 1) * 0.5 * W
+    want_y = (1.0 - (ndc[:, 1] + 1) * 0.5) * H
+    np.testing.assert_allclose(px[:, 0], want_x, atol=1e-2)
+    np.testing.assert_allclose(px[:, 1], want_y, atol=1e-2)
+
+
+def test_aabb_segments_and_overlay():
+    scene = load_scene_prebuilt(SceneType.CornellBox)
+    bvh = build_reference_bvh(scene)
+    lo, hi = bvh.debug_level_boxes(2)
+    a, b = aabb_segments(lo, hi)
+    assert a.shape == (len(lo) * 12, 3) and b.shape == a.shape
+    # every segment endpoint lies on its box surface
+    img = np.zeros((64, 64, 3), np.float32)
+    out = draw_segments(img, Camera(), a, b, color=(0, 1, 0))
+    assert out.shape == img.shape
+    assert (out[..., 1] > 0).any()         # something was drawn
+    assert (img == 0).all()                # original untouched
+
+
+def test_normal_segments():
+    scene = load_scene_prebuilt(SceneType.Monkey)
+    starts, ends = normal_segments(scene, 0, length=0.1)
+    assert starts.shape == (3, 3)
+    np.testing.assert_allclose(np.linalg.norm(ends - starts, axis=-1), 0.1,
+                               rtol=1e-4)

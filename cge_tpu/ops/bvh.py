@@ -115,9 +115,22 @@ class ReferenceBVH:
         return None
 
 
-def build_reference_bvh(scene, sah_binning: bool = False) -> ReferenceBVH:
+def build_reference_bvh(scene, sah_binning: bool = False,
+                        use_native: bool = True) -> ReferenceBVH:
     lo, hi, center, is_sphere, prim_idx = _primitive_soup(scene)
     P = len(center)
+
+    if use_native:
+        from cge_tpu import native as cge_native
+        r = cge_native.build_bvh_native(lo, hi, center, sah_binning)
+        if r is not None:
+            node_lo, node_hi, node_meta, perm, (lv, leaves, mx) = r
+            return ReferenceBVH(
+                node_lo=node_lo, node_hi=node_hi, node_meta=node_meta,
+                root=len(node_meta) - 1,
+                perm_is_sphere=is_sphere[perm], perm_index=prim_idx[perm],
+                num_levels=lv, num_leaves=leaves, max_per_leaf=mx)
+
     order = np.arange(P)
 
     node_lo, node_hi, node_meta = [], [], []
@@ -204,7 +217,8 @@ def build_reference_bvh(scene, sah_binning: bool = False) -> ReferenceBVH:
 # ---------------------------------------------------------------------------
 
 def build_clusters(vertices, tris, tri_mask,
-                   cluster_size: int = CLUSTER_SIZE) -> np.ndarray:
+                   cluster_size: int = CLUSTER_SIZE,
+                   use_native: bool = True) -> np.ndarray:
     """Partition the scene's triangles into spatially-coherent clusters of
     <= cluster_size via largest-extent median splits.
 
@@ -220,6 +234,12 @@ def build_clusters(vertices, tris, tri_mask,
     if len(ids) == 0:
         return np.full((1, cluster_size), -1, np.int32)
     centers = v[t[ids]].mean(axis=1)
+
+    if use_native:
+        from cge_tpu import native as cge_native
+        perm = cge_native.build_clusters_native(centers, cluster_size)
+        if perm is not None:
+            return np.where(perm >= 0, ids[np.maximum(perm, 0)], -1)
 
     clusters: list = []
 

@@ -115,9 +115,48 @@ def _parse_index(token: str, nv: int, nvt: int, nvn: int):
 
 
 def load_mesh(path: str, center_and_normalize: bool = False) -> list[SubMesh]:
-    """loadMesh (mesh.cpp:52-149)."""
+    """loadMesh (mesh.cpp:52-149).
+
+    Dispatches to the native C++ loader (cge_tpu.native, the analogue of the
+    reference's tinyobjloader+loadMesh native pipeline) when available;
+    this pure-Python implementation is the fallback and the semantic oracle
+    (equivalence tested in tests/test_native.py)."""
     if not os.path.exists(path):
         raise FileNotFoundError(f"File {path} does not exist.")
+    native = _load_mesh_native(path, center_and_normalize)
+    if native is not None:
+        return native
+    return _load_mesh_python(path, center_and_normalize)
+
+
+def _load_mesh_native(path: str, center_and_normalize: bool):
+    from cge_tpu import native as cge_native
+
+    raw = cge_native.load_obj_native(path, center_and_normalize)
+    if raw is None:
+        return None
+    base_dir = os.path.dirname(os.path.abspath(path))
+    texture_cache: dict = {}
+    out: list[SubMesh] = []
+    for pos, nrm, uv, tris, mat in raw:
+        tex = None
+        if mat["map_kd"]:
+            tex_path = os.path.join(base_dir, mat["map_kd"])
+            if tex_path not in texture_cache:
+                texture_cache[tex_path] = load_image(tex_path)
+            tex = texture_cache[tex_path]
+        material = Material(
+            kd=np.asarray(mat["kd"], np.float32),
+            ks=np.asarray(mat["ks"], np.float32),
+            shininess=float(mat["shininess"]),
+            transparency=float(mat["dissolve"]),
+            kd_texture=tex)
+        out.append(SubMesh(positions=pos, normals=nrm, texcoords=uv,
+                           triangles=tris, material=material))
+    return out
+
+
+def _load_mesh_python(path: str, center_and_normalize: bool) -> list[SubMesh]:
     base_dir = os.path.dirname(os.path.abspath(path))
 
     verts: list = []

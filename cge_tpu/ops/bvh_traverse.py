@@ -1,0 +1,201 @@
+"""Device-side reference-parity BVH traversal.
+
+Replicates BoundingVolumeHierarchy::intersect with the accel structure ON
+(/root/reference/src/bounding_volume_hierarchy.cpp:299-362) exactly:
+
+  - explicit stack seeded with the root; children pushed left-then-right so
+    the RIGHT subtree is visited first (cpp:356-357);
+  - child AABB tests run with ray.t forced to FLT_MAX — traversal never
+    prunes by the current closest hit (cpp:334-352, quirk ledger #11);
+  - leaves run the sequential last-accepted-wins primitive loop
+    (getIntersecting, cpp:272-293): triangles accept 0 <= t <= ray.t
+    (non-strict, so a later equal-t triangle displaces an earlier one),
+    spheres accept strictly t < ray.t.
+
+Shaped as a lax.while_loop vmapped over rays: every lane carries its own
+small stack (depth <= 16 => stack height <= 17) and a leaf cursor, and the
+batch steps until every lane is done. This is the *parity* traversal — the
+performance path on TPU is the Pallas cluster sweep
+(cge_tpu.ops.pallas.cluster_sweep); this one exists so accel-ON renders can
+be validated against the reference bit-for-bit (same accept order => same
+tie winners), and serves as the accel path on CPU backends.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+FLT_MAX = jnp.float32(3.4028234663852886e38)
+FLT_MIN = jnp.float32(1.1754943508222875e-38)
+STACK = 24  # depth <= 16 -> sp <= 17; headroom
+
+
+class DeviceBVH(NamedTuple):
+    """Reference BVH linearized for device traversal."""
+
+    node_lo: jax.Array     # [N, 3]
+    node_hi: jax.Array     # [N, 3]
+    node_meta: jax.Array   # [N, 6] i32: is_leaf, depth, beg, end, l, r
+    root: jax.Array        # scalar i32
+    # permuted primitive table (triangles inlined; spheres by index)
+    prim_v0: jax.Array     # [P, 3]
+    prim_v1: jax.Array     # [P, 3]
+    prim_v2: jax.Array     # [P, 3]
+    prim_is_sphere: jax.Array  # [P] bool
+    prim_sph_center: jax.Array  # [P, 3]
+    prim_sph_radius: jax.Array  # [P]
+    prim_index: jax.Array  # [P] i32 scene ids
+
+
+def device_bvh(bvh, scene) -> DeviceBVH:
+    """Pack a host-built ReferenceBVH (cge_tpu.ops.bvh) for traversal."""
+    tris = np.asarray(scene.tris)
+    verts = np.asarray(scene.vertices)
+    sph_c = np.asarray(scene.sph_center)
+    sph_r = np.asarray(scene.sph_radius)
+    idx = bvh.perm_index
+    is_sph = bvh.perm_is_sphere
+    tri_ids = np.where(is_sph, 0, idx)
+    corners = verts[tris[tri_ids]]          # [P, 3, 3]
+    sph_ids = np.where(is_sph, idx, 0)
+    j = jnp.asarray
+    return DeviceBVH(
+        node_lo=j(bvh.node_lo), node_hi=j(bvh.node_hi),
+        node_meta=j(bvh.node_meta), root=jnp.int32(bvh.root),
+        prim_v0=j(corners[:, 0]), prim_v1=j(corners[:, 1]),
+        prim_v2=j(corners[:, 2]),
+        prim_is_sphere=j(is_sph),
+        prim_sph_center=j(sph_c[sph_ids]),
+        prim_sph_radius=j(sph_r[sph_ids]),
+        prim_index=j(idx.astype(np.int32)),
+    )
+
+
+def _aabb_hit_tmax_inf(o, d, lo, hi):
+    """intersectRayWithShape(AABB) with ray.t == FLT_MAX (the traversal's
+    child test, cpp:334-352): slab test with FLT_MIN/FLT_MAX substitution
+    for zero direction components; accept iff (inside: tfar > 0) else
+    (tnear <= tfar and tnear >= 0)."""
+    zero = d == 0
+    safe_d = jnp.where(zero, 1.0, d)
+    t_l = jnp.where(zero, FLT_MIN, (lo - o) / safe_d)
+    t_u = jnp.where(zero, FLT_MAX, (hi - o) / safe_d)
+    tlo = jnp.minimum(t_l, t_u)
+    thi = jnp.maximum(t_l, t_u)
+    tnear = jnp.max(tlo)
+    tfar = jnp.min(thi)
+    inside = tnear < 0
+    ok = jnp.where(inside, tfar > 0, tnear <= tfar)
+    t = jnp.where(inside, tfar, tnear)
+    return ok & (t >= 0)
+
+
+def _tri_t(o, d, v0, v1, v2, ray_t):
+    """intersectRayWithTriangle accept test (prebuilt semantics): plane t in
+    [0, ray.t] and point-in-triangle. Returns (hit, t)."""
+    n = jnp.cross(v1 - v0, v2 - v0)
+    n = n / jnp.linalg.norm(n)
+    D = jnp.dot(n, v0)
+    denom = jnp.dot(n, d)
+    t = (D - jnp.dot(n, o)) / denom
+    p = o + t * d
+    e0 = jnp.dot(jnp.cross(v1 - v0, p - v0), n) >= 0
+    e1 = jnp.dot(jnp.cross(v2 - v1, p - v1), n) >= 0
+    e2 = jnp.dot(jnp.cross(v0 - v2, p - v2), n) >= 0
+    ok = (t >= 0) & (t <= ray_t) & e0 & e1 & e2 & jnp.isfinite(t)
+    return ok, t
+
+
+def _sphere_t(o, d, c, r, ray_t):
+    """intersectRayWithShape(Sphere): quadratic a==1, smallest non-negative
+    root, strict t < ray.t."""
+    oc = o - c
+    b = 2.0 * jnp.dot(d, oc)
+    cc = jnp.dot(oc, oc) - r * r
+    disc = b * b - 4.0 * cc
+    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    t0 = (-b - sq) / 2.0
+    t1 = (-b + sq) / 2.0
+    t = jnp.where(t0 >= 0, t0, t1)
+    ok = (disc >= 0) & (t >= 0) & (t < ray_t)
+    return ok, t
+
+
+def _traverse_one(bvh: DeviceBVH, o, d, tmax):
+    """One ray through the reference traversal. Returns (t, perm_pos):
+    t = inf and perm_pos = -1 on miss."""
+
+    def cond(s):
+        sp, _, cur, end, _, _ = s
+        return (sp > 0) | (cur < end)
+
+    def body(s):
+        sp, stack, cur, end, best_t, best_p = s
+
+        def step_leaf(s):
+            sp, stack, cur, end, best_t, best_p = s
+            is_sph = bvh.prim_is_sphere[cur]
+            th, tt = _tri_t(o, d, bvh.prim_v0[cur], bvh.prim_v1[cur],
+                            bvh.prim_v2[cur], best_t)
+            sh, st = _sphere_t(o, d, bvh.prim_sph_center[cur],
+                               bvh.prim_sph_radius[cur], best_t)
+            hit = jnp.where(is_sph, sh, th)
+            t = jnp.where(is_sph, st, tt)
+            best_t = jnp.where(hit, t, best_t)
+            best_p = jnp.where(hit, cur, best_p)
+            return sp, stack, cur + 1, end, best_t, best_p
+
+        def step_node(s):
+            sp, stack, cur, end, best_t, best_p = s
+            node = stack[sp - 1]
+            sp = sp - 1
+            meta = bvh.node_meta[node]
+            is_leaf = meta[0] == 1
+
+            def open_leaf(sp, stack):
+                return sp, stack, meta[2], meta[3]
+
+            def open_internal(sp, stack):
+                left, right = meta[4], meta[5]
+                lhit = _aabb_hit_tmax_inf(o, d, bvh.node_lo[left],
+                                          bvh.node_hi[left])
+                rhit = _aabb_hit_tmax_inf(o, d, bvh.node_lo[right],
+                                          bvh.node_hi[right])
+                # push left then right (cpp:356-357) -> right pops first
+                stack = stack.at[sp].set(jnp.where(lhit, left, stack[sp]))
+                sp = sp + jnp.where(lhit, 1, 0)
+                stack = stack.at[sp].set(jnp.where(rhit, right, stack[sp]))
+                sp = sp + jnp.where(rhit, 1, 0)
+                return sp, stack, jnp.int32(0), jnp.int32(0)
+
+            sp, stack, cur, end = jax.lax.cond(is_leaf, open_leaf,
+                                               open_internal, sp, stack)
+            return sp, stack, cur, end, best_t, best_p
+
+        return jax.lax.cond(cur < end, step_leaf, step_node, s)
+
+    stack0 = jnp.zeros(STACK, jnp.int32).at[0].set(bvh.root)
+    state = (jnp.int32(1), stack0, jnp.int32(0), jnp.int32(0),
+             tmax, jnp.int32(-1))
+    _, _, _, _, best_t, best_p = jax.lax.while_loop(cond, body, state)
+    found = best_p >= 0
+    return jnp.where(found, best_t, jnp.inf), best_p
+
+
+def bvh_closest_hit(bvh: DeviceBVH, o, d, tmax):
+    """Batched reference-parity traversal.
+
+    o, d: [R, 3]; tmax: [R] (the incoming ray.t budget; pass inf for closest
+    hit, 1.0 for the reference's shadow rays — dead rays may pass -1).
+    Returns (hit [R] bool, t [R], is_sphere [R], prim [R] scene ids)."""
+    t, p = jax.vmap(lambda oo, dd, tt: _traverse_one(bvh, oo, dd, tt))(
+        o, d, tmax)
+    found = p >= 0
+    safe_p = jnp.maximum(p, 0)
+    return (found, t,
+            jnp.where(found, bvh.prim_is_sphere[safe_p], False),
+            jnp.where(found, bvh.prim_index[safe_p], 0))

@@ -1,0 +1,137 @@
+"""Profiling, metrics and observability.
+
+The reference's only instrumentation is wall-clock prints — BVH build ms +
+max leaf size (/root/reference/src/bounding_volume_hierarchy.cpp:192-193)
+and per-render ms (/root/reference/src/main.cpp:232-236, 532-534). This
+module reproduces those hooks and adds the TPU-native ones the reference
+lacks (SURVEY.md §5): rays/s accounting, a jax.profiler trace context, and
+a roofline estimate for the intersection sweep.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import dataclasses
+import time
+
+import numpy as np
+
+
+@dataclasses.dataclass
+class RenderStats:
+    """One render's counters. rays = primary + shadow + bounce rays actually
+    traced (what the wavefront dispatched, not what the reference would have
+    recursed)."""
+
+    wall_ms: float = 0.0
+    width: int = 0
+    height: int = 0
+    primary_rays: int = 0
+    total_rays: int = 0
+
+    @property
+    def rays_per_s(self) -> float:
+        return self.total_rays / (self.wall_ms / 1e3) if self.wall_ms else 0.0
+
+    def __str__(self) -> str:
+        return (f"Rendering took {self.wall_ms:.0f} ms "
+                f"({self.width}x{self.height}, "
+                f"{self.total_rays / 1e6:.2f} Mrays, "
+                f"{self.rays_per_s / 1e6:.2f} Mrays/s)")
+
+
+def count_rays(width: int, height: int, scene, features, params) -> int:
+    """Statically estimate the rays a wavefront render dispatches: per
+    bounce level, one closest-hit ray + one shadow ray per point light per
+    live ray (area lights add their stratified sample counts when soft
+    shadows are on); MSAA/DoF multiply the primary grid."""
+    n = width * height
+    if features.enable_multiple_rays_per_pixel:
+        n *= params.rays_per_pixel_side ** 2
+    if features.enable_depth_of_field:
+        n += width * height * params.samples_dof
+    shadow = 0
+    if features.enable_hard_shadow or features.enable_soft_shadow:
+        shadow += int(np.asarray(scene.point_mask).sum())
+    if features.enable_soft_shadow:
+        shadow += int(np.asarray(scene.seg_mask).sum()) * \
+            params.segment_light_samples
+        shadow += int(np.asarray(scene.par_mask).sum()) * \
+            params.parallelogram_light_direction_samples ** 2
+    levels = params.ray_depth + 1 if features.enable_recursive else 1
+    return n * (1 + shadow) * levels
+
+
+def timed_render(scene, camera, features, params, width, height, seed=0):
+    """render_image + RenderStats (the reference's render-ms print,
+    main.cpp:232-236, with rays/s)."""
+    from cge_tpu.render.renderer import render_image
+
+    t0 = time.perf_counter()
+    img = np.asarray(render_image(scene, camera, features, params,
+                                  width, height, seed))
+    wall_ms = (time.perf_counter() - t0) * 1e3
+    stats = RenderStats(
+        wall_ms=wall_ms, width=width, height=height,
+        primary_rays=width * height,
+        total_rays=count_rays(width, height, scene, features, params))
+    return img, stats
+
+
+@contextlib.contextmanager
+def trace(log_dir: str):
+    """jax.profiler trace scope: view with TensorBoard / xprof.
+
+    with profiling.trace('/tmp/jax-trace'):
+        render_image(...)
+    """
+    import jax
+
+    jax.profiler.start_trace(log_dir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+
+
+def sweep_roofline(n_rays: int, n_tris: int, wall_s: float,
+                   peak_flops: float = 4.0e12) -> dict:
+    """Roofline estimate for the brute intersection sweep: ~60 f32 VPU flops
+    per (ray, triangle) pair (plane t + point-in-triangle edge tests,
+    cge_tpu.ops.pallas.sweep). peak_flops defaults to one v5e core's f32
+    VPU rate. Returns achieved flops, fraction of peak, and pair rate."""
+    flops = 60.0 * n_rays * n_tris
+    achieved = flops / wall_s if wall_s > 0 else 0.0
+    return dict(
+        pair_tests=n_rays * n_tris,
+        achieved_flops=achieved,
+        fraction_of_peak=achieved / peak_flops,
+        pairs_per_s=n_rays * n_tris / wall_s if wall_s > 0 else 0.0,
+    )
+
+
+@dataclasses.dataclass
+class BuildStats:
+    """BVH/cluster build observability (the reference prints these at
+    bounding_volume_hierarchy.cpp:192-193)."""
+
+    build_ms: float
+    num_levels: int
+    num_leaves: int
+    max_per_leaf: int
+
+    def __str__(self) -> str:
+        return (f"BVH generation took {self.build_ms:.0f} ms.\n"
+                f"Max triangles per node is: {self.max_per_leaf}")
+
+
+def timed_bvh_build(scene, sah_binning: bool = False):
+    """build_reference_bvh + the reference's build prints."""
+    from cge_tpu.ops.bvh import build_reference_bvh
+
+    t0 = time.perf_counter()
+    bvh = build_reference_bvh(scene, sah_binning=sah_binning)
+    ms = (time.perf_counter() - t0) * 1e3
+    return bvh, BuildStats(build_ms=ms, num_levels=bvh.num_levels,
+                           num_leaves=bvh.num_leaves,
+                           max_per_leaf=bvh.max_per_leaf)

@@ -88,6 +88,44 @@ class Camera:
         q = quat_from_euler(jnp.asarray(self.rotation, jnp.float32))
         return quat_rotate(q, jnp.array([0.0, 1.0, 0.0], jnp.float32))
 
+    def left(self):
+        """trackball.cpp:122-126 (positive X is camera-left in the
+        right-handed GL frame)."""
+        q = quat_from_euler(jnp.asarray(self.rotation, jnp.float32))
+        return quat_rotate(q, jnp.array([1.0, 0.0, 0.0], jnp.float32))
+
+    # -- interaction (the mouse handlers, trackball.cpp:136-164, as pure
+    #    functions returning a new Camera; deltas in "pixels of cursor
+    #    motion", positive = right/up, like GLFW reports them)
+
+    _ROTATION_SPEED = 0.3       # trackball.cpp:13
+    _TRANSLATION_SPEED = 0.005  # trackball.cpp:14
+    _ZOOM_SPEED = 0.5           # trackball.cpp:15
+
+    def orbit(self, dx: float, dy: float) -> "Camera":
+        """Left-drag rotate (trackball.cpp:145-148): pitch clamped to
+        +-pi/2, yaw unbounded."""
+        rx, ry, rz = self.rotation
+        rx = float(np.clip(rx - np.radians(dy * self._ROTATION_SPEED),
+                           -np.pi / 2, np.pi / 2))
+        ry = float(ry - np.radians(dx * self._ROTATION_SPEED))
+        return dataclasses.replace(self, rotation=(rx, ry, rz))
+
+    def pan(self, dx: float, dy: float) -> "Camera":
+        """Right-drag translate in the image plane (trackball.cpp:150-153):
+        mouse right => camera left, mouse up => camera down."""
+        look = np.asarray(self.look_at, np.float32)
+        look = look + dx * self._TRANSLATION_SPEED * np.asarray(self.left())
+        look = look - dy * self._TRANSLATION_SPEED * np.asarray(self.up())
+        return dataclasses.replace(self, look_at=tuple(float(v) for v in look))
+
+    def zoom(self, scroll_y: float) -> "Camera":
+        """Scroll dolly (trackball.cpp:159-163): distance clamped to
+        [0.1, 100]."""
+        d = float(np.clip(self.distance - scroll_y * self._ZOOM_SPEED,
+                          0.1, 100.0))
+        return dataclasses.replace(self, distance=d)
+
     def generate_rays(self, pixels):
         """Vectorized Trackball::generateRay (trackball.cpp:101-110).
 

@@ -54,15 +54,23 @@ def run(config: Config, params: RenderParams | None = None) -> list:
     # main.cpp:510 — fmt "{:%Y-%m-%d-%H:%M:%S}"
     stamp = datetime.datetime.now().strftime("%Y-%m-%d-%H:%M:%S")
 
+    cams = [c.to_camera(aspect=w / h) for c in config.cameras]
+    if len(cams) > 1:
+        # all cameras as ONE wavefront batch (one compiled program, one
+        # launch) — the TPU-native version of the per-camera threads
+        from cge_tpu.render.renderer import render_images, stack_cameras
+        imgs = np.asarray(render_images(scene, stack_cameras(cams),
+                                        config.features, params, w, h, 0))
+    else:
+        imgs = np.asarray(render_image(scene, cams[0], config.features,
+                                       params, w, h, 0))[None]
+
     paths = []
-    for i, cam_cfg in enumerate(config.cameras):
-        camera = cam_cfg.to_camera(aspect=w / h)
-        img = np.asarray(render_image(scene, camera, config.features,
-                                      params, w, h, i))
+    for i in range(len(cams)):
         filename = f"{scene_name}_{stamp}_cam_{i}.bmp"
         filepath = os.path.join(config.output_dir, filename)
         print(f"Image {i} saved to {filepath}")     # main.cpp:523
-        write_bmp(filepath, img)
+        write_bmp(filepath, imgs[i])
         paths.append(filepath)
 
     elapsed_ms = int((time.perf_counter() - start) * 1000)

@@ -114,3 +114,29 @@ def render_image(scene, camera: Camera, features: Features,
 
     camera is a traced pytree: different cameras reuse one executable."""
     return _render_impl(scene, camera, features, params, width, height, seed)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("features", "params", "width", "height"))
+def render_images(scene, cameras: Camera, features: Features,
+                  params: RenderParams, width: int, height: int, seed=0):
+    """Render a BATCH of cameras in one compiled program: [C, H, W, 3].
+
+    cameras: a Camera pytree whose leaves carry a leading camera axis
+    (see stack_cameras). The TPU-native replacement for the reference's
+    one-std::thread-per-camera CLI loop (main.cpp:512-531): the camera batch
+    becomes one big wavefront, so a multi-camera render keeps the chip as
+    busy as a single render C times the size."""
+    def one(camera, s):
+        return _render_impl(scene, camera, features, params, width, height, s)
+
+    n = jax.tree.leaves(cameras)[0].shape[0]
+    return jax.vmap(one)(cameras, seed + jnp.arange(n))
+
+
+def stack_cameras(cameras) -> Camera:
+    """Stack a list of Camera pytrees along a new leading axis for
+    render_images."""
+    return jax.tree.map(lambda *xs: jnp.stack(
+        [jnp.asarray(x, jnp.float32) for x in xs]), *cameras)

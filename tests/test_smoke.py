@@ -62,3 +62,20 @@ def test_chunked_trace_matches_unchunked():
     b = np.asarray(render_image(
         scene, cam, feats, RenderParams(trace_chunk=256), 32, 32))
     np.testing.assert_array_equal(np.nan_to_num(a), np.nan_to_num(b))
+
+
+def test_batched_cameras_match_sequential():
+    """render_images (vmapped camera batch) == per-camera render_image."""
+    from cge_tpu import render_images, stack_cameras
+
+    scene = load_scene_prebuilt(SceneType.CornellBox)
+    feats = Features(enable_shading=True, enable_hard_shadow=True)
+    params = RenderParams()
+    cams = [Camera(), Camera(fovy=1.1, distance=2.2, rotation=(-0.2, 0.7, 0.0))]
+    batch = np.asarray(render_images(scene, stack_cameras(cams), feats,
+                                     params, 24, 24, 0))
+    assert batch.shape == (2, 24, 24, 3)
+    for i, cam in enumerate(cams):
+        single = np.asarray(render_image(scene, cam, feats, params, 24, 24, i))
+        np.testing.assert_allclose(np.nan_to_num(batch[i]),
+                                   np.nan_to_num(single), rtol=2e-5, atol=1e-6)

@@ -73,7 +73,7 @@ def main():
     import numpy as np
 
     from cge_tpu import (Camera, Features, RenderParams, SceneType,
-                         load_scene_prebuilt, render_image)
+                         load_scene_prebuilt, render_image_u8)
 
     scene = load_scene_prebuilt(SceneType.Teapot)
     feats = Features(enable_shading=True, enable_hard_shadow=True,
@@ -83,14 +83,17 @@ def main():
     cam = Camera()
 
     # warm up / compile; np.asarray forces full materialization (the axon
-    # tunnel is async — block_until_ready alone returns early)
-    img = np.asarray(render_image(scene, cam, feats, params, W, H))
-    assert np.isfinite(np.nan_to_num(img)).all()
+    # tunnel is async — block_until_ready alone returns early). The timed
+    # artifact is the BMP byte framebuffer, the same payload the reference's
+    # render materializes host-side (screen.cpp:49-60); u8 keeps the axon
+    # tunnel transfer (a harness artifact, not TPU PCIe) proportionate.
+    img = np.asarray(render_image_u8(scene, cam, feats, params, W, H))
+    assert img.dtype == np.uint8 and img.shape == (H, W, 3)
 
     best_ms = float("inf")
     for r in range(1, REPS + 1):
         t0 = time.perf_counter()
-        np.asarray(render_image(scene, cam, feats, params, W, H, r))
+        np.asarray(render_image_u8(scene, cam, feats, params, W, H, r))
         best_ms = min(best_ms, (time.perf_counter() - t0) * 1e3)
 
     ref_ms = reference_ms()

@@ -149,7 +149,8 @@ class Accel(NamedTuple):
     (cge_tpu.render.wavefront.hit_attributes)."""
 
     perm: jax.Array   # [L, C] i32 triangle ids, -1 pad
-    tiles: jax.Array  # [L, 8+C, 16] f32 (pack_cluster_tiles layout)
+    aabbs: jax.Array  # [L, 8] f32 cluster AABBs (lo3, hi3, pad2)
+    tiles: jax.Array  # [L, C, 16] f32 (pack_cluster_tiles layout)
 
 
 def build_accel(scene) -> Accel:
@@ -157,8 +158,8 @@ def build_accel(scene) -> Accel:
     from cge_tpu.ops.pallas.cluster_sweep import pack_cluster_tiles
     sg = jax.lax.stop_gradient
     perm = scene.cluster_perm
-    tiles = pack_cluster_tiles(sg(scene.vertices), scene.tris, perm)
-    return Accel(perm=perm, tiles=tiles)
+    aabbs, tiles = pack_cluster_tiles(sg(scene.vertices), scene.tris, perm)
+    return Accel(perm=perm, aabbs=aabbs, tiles=tiles)
 
 
 def _closest_tris_sweep(o, d, tmax, vertices, tris, mask, tri_tile: int,
@@ -204,7 +205,8 @@ def _on_tpu() -> bool:
 
 def closest_hit(scene, o, d, tmax, tri_tile: int = 512,
                 prims_axis=None, prims_axis_size: int = 1,
-                use_pallas=None, accel: Accel | None = None) -> HitIds:
+                use_pallas=None, accel: Accel | None = None,
+                shared_origin: bool = False) -> HitIds:
     """Closest hit over all primitives of the scene.
 
     Replicates the reference's acceptance + tie rules (see module docstring).
@@ -244,8 +246,9 @@ def closest_hit(scene, o, d, tmax, tri_tile: int = 512,
 
     if accel is not None and use_pallas and prims_axis is None:
         from cge_tpu.ops.pallas.cluster_sweep import pallas_cluster_tris
-        best_t, best_i = pallas_cluster_tris(o, d, tmax, accel.tiles,
-                                             accel.perm)
+        best_t, best_i = pallas_cluster_tris(o, d, tmax, accel.aabbs,
+                                             accel.tiles, accel.perm,
+                                             shared_origin=shared_origin)
     elif prims_axis is not None:
         T = scene.tris.shape[0]
         assert T % prims_axis_size == 0, "pad tris to a multiple of the axis"
@@ -282,7 +285,8 @@ def closest_hit(scene, o, d, tmax, tri_tile: int = 512,
 def closest_hit_chunked(scene, o, d, tmax, ray_chunk: int = 2048,
                         tri_tile: int = 512, prims_axis=None,
                         prims_axis_size: int = 1,
-                        accel: Accel | None = None) -> HitIds:
+                        accel: Accel | None = None,
+                        shared_origin: bool = False) -> HitIds:
     """Memory-bounded closest hit.
 
     On TPU the Pallas sweep kernel bounds VMEM via its own grid, so the
@@ -292,7 +296,7 @@ def closest_hit_chunked(scene, o, d, tmax, ray_chunk: int = 2048,
     if _on_tpu():
         return closest_hit(scene, o, d, tmax, tri_tile,
                            prims_axis, prims_axis_size, use_pallas=True,
-                           accel=accel)
+                           accel=accel, shared_origin=shared_origin)
     R = o.shape[0]
     n_chunks = max(1, -(-R // ray_chunk))
     pad = n_chunks * ray_chunk - R
@@ -309,6 +313,26 @@ def closest_hit_chunked(scene, o, d, tmax, ray_chunk: int = 2048,
                             d_p.reshape(n_chunks, ray_chunk, 3),
                             tmax_p.reshape(n_chunks, ray_chunk)))
     return HitIds(*(x.reshape(-1)[:R] for x in res))
+
+
+def any_hit_occlusion(scene, o, d, tmax, accel: Accel | None = None):
+    """Occlusion query: True where *any* primitive blocks the ray within its
+    t budget (light.cpp:60-63 when transparency is off — the caller only
+    needs existence, not which blocker). On TPU with an accel this runs the
+    Pallas any-hit kernel, where a blocked ray prunes all remaining clusters;
+    elsewhere it falls back to closest-hit."""
+    sg = jax.lax.stop_gradient
+    o, d, tmax = sg(o), sg(d), sg(tmax)
+    if accel is not None and _on_tpu():
+        from cge_tpu.ops.pallas.cluster_sweep import pallas_cluster_tris
+        tri_hit, _ = pallas_cluster_tris(o, d, tmax, accel.aabbs,
+                                         accel.tiles, accel.perm,
+                                         any_hit=True)
+        ts = intersect_spheres_t(o, d, tmax, scene.sph_center,
+                                 scene.sph_radius)
+        ts = jnp.where(scene.sph_mask[None, :], ts, jnp.inf)
+        return tri_hit | jnp.isfinite(jnp.min(ts, axis=1))
+    return closest_hit_chunked(scene, o, d, tmax, accel=accel).hit
 
 
 def any_hit_shadow(scene, o, d, ray_chunk: int = 2048, tri_tile: int = 512):

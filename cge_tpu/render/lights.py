@@ -22,7 +22,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from cge_tpu.ops.intersect import closest_hit_chunked
+from cge_tpu.ops.intersect import any_hit_occlusion, closest_hit_chunked
 from cge_tpu.ops.shading import compute_shading
 
 
@@ -50,11 +50,18 @@ def shadow_visibility(scene, ray_o, ray_d, ray_t, sample_pos, features,
         tmax = jnp.ones(p.shape[0], jnp.float32)
     else:
         tmax = jnp.where(alive, 1.0, -1.0)
+    if not features.enable_transparency and accel is not None \
+            and params.prims_axis is None:
+        # only existence of a blocker matters (light.cpp:60-63): the any-hit
+        # kernel lets a blocked ray prune all remaining clusters
+        blocked = any_hit_occlusion(scene, p, sdir, tmax, accel=accel)
+        return jnp.where(blocked, 0.0, 1.0)
     res = closest_hit_chunked(scene, p, sdir, tmax,
                               params.ray_tile, params.tri_tile,
                               params.prims_axis, params.prims_axis_size,
                               accel=accel)
     if features.enable_transparency:
+        # the *closest* blocker's transparency (light.cpp:65-68)
         tri_tr = scene.mat_transparency[scene.tri_mat[res.prim]]
         sph_tr = scene.mat_transparency[scene.sph_mat[res.prim]]
         blocker_tr = jnp.where(res.is_sphere, sph_tr, tri_tr)

@@ -135,6 +135,20 @@ def render_images(scene, cameras: Camera, features: Features,
     return jax.vmap(one)(cameras, seed + jnp.arange(n))
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("features", "params", "width", "height"))
+def render_image_u8(scene, camera: Camera, features: Features,
+                    params: RenderParams, width: int, height: int, seed=0):
+    """Render and quantize to the BMP byte framebuffer on device:
+    clamp to [0, 1] and scale by 255 exactly like Screen::writeBitmapToFile
+    (screen.cpp:49-60). Keeps the host transfer at 1 byte/channel — the
+    same payload the reference's output path materializes."""
+    img = _render_impl(scene, camera, features, params, width, height, seed)
+    img = jnp.nan_to_num(img)   # shading-quirk NaNs render as black there too
+    return (jnp.clip(img, 0.0, 1.0) * 255.0).astype(jnp.uint8)
+
+
 def stack_cameras(cameras) -> Camera:
     """Stack a list of Camera pytrees along a new leading axis for
     render_images."""

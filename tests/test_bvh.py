@@ -114,8 +114,8 @@ def test_cluster_sweep_matches_brute(scene_type):
                                  scene.tri_mask, 512)
 
     perm = jnp.asarray(build_clusters(scene.vertices, scene.tris, scene.tri_mask, cluster_size=128))
-    tiles = pack_cluster_tiles(scene.vertices, scene.tris, perm)
-    ct, ci = pallas_cluster_tris(o, d, tmax, tiles, perm, br=128,
+    aabbs, tiles = pack_cluster_tiles(scene.vertices, scene.tris, perm)
+    ct, ci = pallas_cluster_tris(o, d, tmax, aabbs, tiles, perm, br=128,
                                  interpret=True)
 
     bt, bi, ct, ci = map(np.asarray, (bt, bi, ct, ci))
@@ -136,8 +136,39 @@ def test_cluster_sweep_respects_tmax(cornell):
     # a tiny budget kills every hit
     tmax = jnp.full(o.shape[0], 1e-6, jnp.float32)
     perm = jnp.asarray(build_clusters(cornell.vertices, cornell.tris, cornell.tri_mask))
-    tiles = pack_cluster_tiles(cornell.vertices, cornell.tris, perm)
-    ct, ci = pallas_cluster_tris(o, d, tmax, tiles, perm, br=128,
+    aabbs, tiles = pack_cluster_tiles(cornell.vertices, cornell.tris, perm)
+    ct, ci = pallas_cluster_tris(o, d, tmax, aabbs, tiles, perm, br=128,
                                  interpret=True)
     assert not np.isfinite(np.asarray(ct)).any()
     assert (np.asarray(ci) == -1).all()
+
+
+def test_cluster_sweep_any_hit_mode(cornell):
+    o, d = _rays(cornell, 16)
+    tmax = jnp.full(o.shape[0], jnp.inf, jnp.float32)
+    perm = jnp.asarray(build_clusters(cornell.vertices, cornell.tris,
+                                      cornell.tri_mask))
+    aabbs, tiles = pack_cluster_tiles(cornell.vertices, cornell.tris, perm)
+    ct, _ = pallas_cluster_tris(o, d, tmax, aabbs, tiles, perm, br=128,
+                                interpret=True)
+    hit, _ = pallas_cluster_tris(o, d, tmax, aabbs, tiles, perm, br=128,
+                                 any_hit=True, interpret=True)
+    np.testing.assert_array_equal(np.asarray(hit),
+                                  np.isfinite(np.asarray(ct)))
+
+
+def test_cluster_sweep_shared_origin(cornell):
+    o, d = _rays(cornell, 16)
+    # _rays generates a shared-origin pinhole fan
+    assert np.allclose(np.asarray(o), np.asarray(o)[0])
+    tmax = jnp.full(o.shape[0], jnp.inf, jnp.float32)
+    perm = jnp.asarray(build_clusters(cornell.vertices, cornell.tris,
+                                      cornell.tri_mask))
+    aabbs, tiles = pack_cluster_tiles(cornell.vertices, cornell.tris, perm)
+    t0, i0 = pallas_cluster_tris(o, d, tmax, aabbs, tiles, perm, br=128,
+                                 interpret=True)
+    t1, i1 = pallas_cluster_tris(o, d, tmax, aabbs, tiles, perm, br=128,
+                                 shared_origin=True, interpret=True)
+    np.testing.assert_allclose(np.asarray(t1), np.asarray(t0),
+                               rtol=5e-6, atol=1e-7)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i0))

@@ -1,0 +1,96 @@
+"""Decompose the teapot bench: kernel vs stages vs transfer (axon-safe sync)."""
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cge_tpu import Camera, Features, RenderParams, SceneType, load_scene_prebuilt
+from cge_tpu.camera import pixel_grid
+from cge_tpu.ops.intersect import build_accel, closest_hit_chunked
+from cge_tpu.ops.pallas.cluster_sweep import pallas_cluster_tris
+from cge_tpu.render.renderer import render_image
+from cge_tpu.render.wavefront import hit_attributes, trace
+from cge_tpu.render.lights import light_contribution
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+
+def sync(x):
+    """Force full materialization (axon block_until_ready returns early)."""
+    return np.asarray(jax.tree.leaves(x)[0]).ravel()[0]
+
+
+def bench(name, f, *args, reps=5):
+    sync(f(*args))
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        r = f(*args)
+    sync(r)
+    dt = (time.perf_counter() - t0) / reps
+    print(f"{name}: {dt*1e3:.1f} ms")
+    return dt
+
+
+W = H = 512
+scene = load_scene_prebuilt(SceneType.Teapot)
+cam = Camera()
+feats = Features(enable_shading=True, enable_hard_shadow=True,
+                 enable_recursive=True, enable_normal_interp=True,
+                 enable_accel_structure=True)
+params = RenderParams()
+
+grid = pixel_grid(W, H).reshape(-1, 2)
+o, d = cam.generate_rays(grid)
+o, d = jax.device_put(o), jax.device_put(d)
+tmax = jnp.full(o.shape[0], jnp.inf, jnp.float32)
+
+accel = jax.jit(lambda s: build_accel(s))(scene)
+sync(accel.tiles)
+print(f"tris={scene.tris.shape[0]} L={accel.tiles.shape[0]} rays={o.shape[0]}")
+
+kern = jax.jit(lambda o, d, t: pallas_cluster_tris(
+    o, d, t, accel.aabbs, accel.tiles, accel.perm))
+bench("closest sweep (262k rays)", kern, o, d, tmax)
+kern_so = jax.jit(lambda o, d, t: pallas_cluster_tris(
+    o, d, t, accel.aabbs, accel.tiles, accel.perm, shared_origin=True))
+bench("closest sweep shared-origin", kern_so, o, d, tmax)
+kern_ah = jax.jit(lambda o, d, t: pallas_cluster_tris(
+    o, d, t, accel.aabbs, accel.tiles, accel.perm, any_hit=True))
+bench("any-hit sweep", kern_ah, o, d, tmax)
+
+ids_f = jax.jit(lambda o, d, t: closest_hit_chunked(
+    scene, o, d, t, accel=accel))
+ids = ids_f(o, d, tmax)
+sync(ids.t)
+
+attr_f = jax.jit(lambda o, d, ids: hit_attributes(scene, o, d, ids, feats))
+bench("hit_attributes", attr_f, o, d, ids)
+attrs = attr_f(o, d, ids)
+
+key = jax.random.PRNGKey(0)
+light_f = jax.jit(lambda o, d, a: light_contribution(
+    scene, o, d, a.t, a.normal, a.kd, a.ks, a.shininess, feats, params, key,
+    alive=a.hit, accel=accel))
+bench("light_contribution (shadow sweep + shade)", light_f, o, d, attrs)
+
+trace_f = jax.jit(lambda o, d: trace(scene, o, d, feats, params, key,
+                                     accel=accel))
+bench("full trace 262k (unchunked)", trace_f, o, d, reps=3)
+
+rend = jax.jit(lambda s: render_image(scene, cam, feats, params, W, H, s))
+bench("render_image (sync scalar)", rend, 0, reps=3)
+
+img = render_image(scene, cam, feats, params, W, H, 0)
+sync(img)
+t0 = time.perf_counter()
+for _ in range(3):
+    np.asarray(render_image(scene, cam, feats, params, W, H, 0))
+print(f"render_image + full np.asarray: {(time.perf_counter()-t0)/3*1e3:.1f} ms")
+
+t0 = time.perf_counter()
+for _ in range(3):
+    np.asarray(img)
+print(f"np.asarray of cached image (transfer only): "
+      f"{(time.perf_counter()-t0)/3*1e3:.1f} ms")

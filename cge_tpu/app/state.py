@@ -1,0 +1,291 @@
+"""Interactive application state + frame composition.
+
+This is the testable core behind the web UI: every panel interaction of the
+reference's ImGui loop (/root/reference/src/main.cpp:120-477) maps to a
+method here.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import datetime
+import os
+import time
+from typing import Optional
+
+import numpy as np
+
+from cge_tpu.camera import Camera
+from cge_tpu.ops.bvh import build_reference_bvh
+from cge_tpu.render.renderer import render_image
+from cge_tpu.scene.image_io import write_bmp
+from cge_tpu.scene.scene import (ParallelogramLight, PointLight, SceneType,
+                                 SegmentLight, build_scene_arrays, load_mesh,
+                                 prebuilt_scene_parts, replace_lights,
+                                 serialize_scene_type)
+from cge_tpu.types import Features, RenderParams
+from cge_tpu.raster.preview import render_preview
+from cge_tpu.viz.debug import aabb_segments, debug_trace, draw_segments
+
+_FEATURE_FIELDS = [f.name for f in dataclasses.fields(Features)]
+_PARAM_FIELDS = [f.name for f in dataclasses.fields(RenderParams)]
+
+_L3 = lambda v: tuple(float(x) for x in v)  # noqa: E731
+
+
+class AppState:
+    """Mutable session state for the interactive app."""
+
+    def __init__(self, scene: str = "cornell_box", width: int = 256,
+                 height: int = 256, output_dir: str = "/tmp/cge_out"):
+        self.width = width
+        self.height = height
+        self.view_mode = "raster"          # ViewMode (main.cpp:33-37)
+        self.features = Features()
+        self.params = RenderParams()
+        self.camera = Camera()
+        self.output_dir = output_dir
+        self.selected_light: int = -1
+        self.debug_levels: list = []        # stored debug rays (optDebugRay)
+        self.debug_pixel: Optional[tuple] = None
+        self.bvh_show_level: int = -1       # debugBVHLevel slider
+        self.bvh_show_leaf: int = -1        # debugBVHLeaf slider
+        self.bvh_sah: bool = False
+        self._bvh_cache = {}
+        self.set_scene(scene)
+
+    # ------------------------------------------------------------------ scene
+
+    def set_scene(self, name_or_path: str):
+        """Scene picker (main.cpp:126-147) or OBJ file load."""
+        from cge_tpu.scene.scene import deserialize_scene_type
+        t = deserialize_scene_type(name_or_path)
+        if t is not None:
+            meshes, spheres, lights = prebuilt_scene_parts(t)
+            self.scene_name = serialize_scene_type(t)
+        elif os.path.exists(name_or_path):
+            meshes = load_mesh(name_or_path)
+            spheres = []
+            lights = [PointLight((-1, 1, -1), (1, 1, 1))]
+            self.scene_name = name_or_path
+        else:
+            raise ValueError(f"unknown scene: {name_or_path}")
+        self.lights = list(lights)
+        base = build_scene_arrays(meshes, spheres, ())
+        self.scene = replace_lights(base, self.lights)
+        self.selected_light = 0 if self.lights else -1
+        self.debug_levels = []
+        self.debug_pixel = None
+        self._bvh_cache = {}
+
+    # --------------------------------------------------------------- features
+
+    def update_features(self, changes: dict):
+        kw = {k: bool(v) for k, v in changes.items() if k in _FEATURE_FIELDS}
+        self.features = self.features.replace(**kw)
+
+    def update_params(self, changes: dict):
+        kw = {}
+        for k, v in changes.items():
+            if k not in _PARAM_FIELDS:
+                continue
+            cur = getattr(self.params, k)
+            kw[k] = type(cur)(v) if cur is not None else v
+        self.params = self.params.replace(**kw)
+
+    def set_view(self, mode: Optional[str] = None, width: Optional[int] = None,
+                 height: Optional[int] = None):
+        if mode in ("raster", "raytrace"):
+            self.view_mode = mode
+        if width:
+            self.width = int(width)
+        if height:
+            self.height = int(height)
+
+    # ----------------------------------------------------------------- camera
+
+    def camera_op(self, op: str, dx: float = 0.0, dy: float = 0.0):
+        """Trackball mouse handlers (trackball.cpp:136-164)."""
+        if op == "orbit":
+            self.camera = self.camera.orbit(dx, dy)
+        elif op == "pan":
+            self.camera = self.camera.pan(dx, dy)
+        elif op == "zoom":
+            self.camera = self.camera.zoom(dy)
+        elif op == "reset":
+            self.camera = Camera()
+        else:
+            raise ValueError(f"unknown camera op: {op}")
+
+    # ----------------------------------------------------------------- lights
+
+    def _sync_lights(self):
+        self.scene = replace_lights(self.scene, self.lights)
+
+    def add_light(self, kind: str):
+        """main.cpp:340-352 (defaults as in the reference's Add buttons)."""
+        if kind == "point":
+            self.lights.append(PointLight((0, 0, 0), (1, 1, 1)))
+        elif kind == "segment":
+            self.lights.append(SegmentLight((0, 0, 0), (1, 0, 0),
+                                            (1, 1, 1), (1, 1, 1)))
+        elif kind == "parallelogram":
+            self.lights.append(ParallelogramLight(
+                (0, 0, 0), (1, 0, 0), (0, 1, 0),
+                (1, 1, 1), (1, 1, 1), (1, 1, 1), (1, 1, 1)))
+        else:
+            raise ValueError(f"unknown light kind: {kind}")
+        self.selected_light = len(self.lights) - 1
+        self._sync_lights()
+
+    def remove_light(self, index: int):
+        """main.cpp:354-360."""
+        if 0 <= index < len(self.lights):
+            self.lights.pop(index)
+            self.selected_light = min(self.selected_light,
+                                      len(self.lights) - 1)
+            self._sync_lights()
+
+    def update_light(self, index: int, fields: dict):
+        """Gizmo translation / color edits (main.cpp:295-338)."""
+        light = self.lights[index]
+        kw = {}
+        for k, v in fields.items():
+            if hasattr(light, k):
+                kw[k] = _L3(v)
+        self.lights[index] = dataclasses.replace(light, **kw)
+        self._sync_lights()
+
+    def light_list(self):
+        out = []
+        for l in self.lights:
+            d = {"kind": type(l).__name__}
+            d.update({k: list(v) for k, v in dataclasses.asdict(l).items()})
+            out.append(d)
+        return out
+
+    # -------------------------------------------------------------- debug ray
+
+    def shoot_debug_ray(self, nx: float, ny: float):
+        """The R-key debug ray (main.cpp:87-104): nx, ny in [-1, 1]."""
+        o, d = self.camera.generate_rays(np.array([[nx, ny]], np.float32))
+        self.debug_levels = debug_trace(self.scene, o, d, self.features,
+                                        self.params)
+        self.debug_pixel = (float(nx), float(ny))
+
+    def clear_debug_ray(self):
+        self.debug_levels = []
+        self.debug_pixel = None
+
+    # -------------------------------------------------------------------- bvh
+
+    def _bvh(self):
+        key = self.bvh_sah
+        if key not in self._bvh_cache:
+            self._bvh_cache[key] = build_reference_bvh(
+                self.scene, sah_binning=self.bvh_sah)
+        return self._bvh_cache[key]
+
+    def set_bvh_debug(self, level: Optional[int] = None,
+                      leaf: Optional[int] = None,
+                      sah: Optional[bool] = None):
+        """The BVH debug sliders (main.cpp:438-463)."""
+        if level is not None:
+            self.bvh_show_level = int(level)
+        if leaf is not None:
+            self.bvh_show_leaf = int(leaf)
+        if sah is not None:
+            self.bvh_sah = bool(sah)
+
+    # ------------------------------------------------------------------ frame
+
+    def frame(self) -> np.ndarray:
+        """Compose the current frame [H, W, 3] u8 (the per-frame branch,
+        main.cpp:379-473): raster preview with debug overlays, or the ray
+        trace."""
+        if self.view_mode == "raytrace":
+            img = np.asarray(render_image(self.scene, self.camera,
+                                          self.features, self.params,
+                                          self.width, self.height))
+            img = np.nan_to_num(img)
+        else:
+            img = np.asarray(render_preview(self.scene, self.camera,
+                                            self.width, self.height))
+            img = self._overlays(img)
+        return (np.clip(img, 0.0, 1.0) * 255.0).astype(np.uint8)
+
+    def _overlays(self, img):
+        # debug rays (replayed every raster frame, main.cpp:391-403)
+        for lvl in self.debug_levels:
+            a = lvl.origin
+            b = lvl.origin + np.minimum(lvl.t, 100.0)[:, None] * lvl.dir
+            for i in range(a.shape[0]):
+                img = draw_segments(img, self.camera, a[i:i + 1],
+                                    b[i:i + 1],
+                                    color=np.clip(lvl.color[i], 0, 1))
+        # BVH level / leaf wireframes (main.cpp:438-463)
+        if self.bvh_show_level >= 0:
+            bvh = self._bvh()
+            lo, hi = bvh.debug_level_boxes(self.bvh_show_level)
+            if len(lo):
+                a, b = aabb_segments(lo, hi)
+                img = draw_segments(img, self.camera, a, b,
+                                    color=(0.0, 1.0, 0.0))
+        if self.bvh_show_leaf >= 0:
+            bvh = self._bvh()
+            leaf = bvh.debug_leaf(self.bvh_show_leaf)
+            if leaf is not None:
+                lo, hi, _, _ = leaf
+                a, b = aabb_segments(lo, hi)
+                img = draw_segments(img, self.camera, a, b,
+                                    color=(1.0, 1.0, 0.0))
+        return img
+
+    # --------------------------------------------------------- render to file
+
+    def render_to_file(self, width: int = 800, height: int = 800):
+        """The "Render to file" button (main.cpp:222-240): full ray trace,
+        timestamped BMP, wall-time report."""
+        os.makedirs(self.output_dir, exist_ok=True)
+        t0 = time.perf_counter()
+        img = np.nan_to_num(np.asarray(render_image(
+            self.scene, self.camera, self.features, self.params,
+            width, height)))
+        ms = (time.perf_counter() - t0) * 1e3
+        stamp = datetime.datetime.now().strftime("%Y-%m-%d-%H:%M:%S")
+        name = os.path.basename(str(self.scene_name)).replace(".obj", "")
+        path = os.path.join(self.output_dir, f"render_{name}_{stamp}.bmp")
+        write_bmp(path, img)
+        return path, ms
+
+    # ------------------------------------------------------------------ state
+
+    def state_json(self) -> dict:
+        cam = self.camera
+        return {
+            "scene": self.scene_name,
+            "scenes": [serialize_scene_type(t) for t in SceneType
+                       if t != SceneType.Dragon],
+            "view_mode": self.view_mode,
+            "width": self.width,
+            "height": self.height,
+            "features": dataclasses.asdict(self.features),
+            "params": {k: v for k, v in
+                       dataclasses.asdict(self.params).items()
+                       if not k.startswith(("ray_tile", "trace_chunk",
+                                            "tri_tile", "prims"))},
+            "camera": {"fovy_deg": float(np.degrees(cam.fovy)),
+                       "distance": float(cam.distance),
+                       "look_at": list(cam.look_at),
+                       "rotation_deg":
+                           [float(np.degrees(r)) for r in cam.rotation]},
+            "lights": self.light_list(),
+            "selected_light": self.selected_light,
+            "bvh": {"show_level": self.bvh_show_level,
+                    "show_leaf": self.bvh_show_leaf,
+                    "sah": self.bvh_sah,
+                    "num_levels": self._bvh().num_levels,
+                    "num_leaves": self._bvh().num_leaves},
+            "debug_pixel": self.debug_pixel,
+            "num_tris": int(np.asarray(self.scene.tri_mask).sum()),
+        }

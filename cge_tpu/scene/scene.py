@@ -330,6 +330,16 @@ DEFAULT_DATA_DIR = "/root/reference/data"
 
 def load_scene_prebuilt(scene_type: SceneType, data_dir: str = DEFAULT_DATA_DIR) -> SceneArrays:
     """The hardcoded scene registry (src/scene.cpp:5-92)."""
+    meshes, spheres, lights = prebuilt_scene_parts(scene_type, data_dir)
+    return build_scene_arrays(meshes, spheres, lights)
+
+
+def prebuilt_scene_parts(scene_type: SceneType,
+                         data_dir: str = DEFAULT_DATA_DIR):
+    """The registry's host-side parts (meshes, spheres, lights) — exposed so
+    the interactive app can seed its editable light list (the reference's
+    light editor starts from the scene's built-in lights, main.cpp:275-368).
+    """
     meshes: list[SubMesh] = []
     spheres: list[SphereDef] = []
     lights: list[Light] = []
@@ -372,7 +382,48 @@ def load_scene_prebuilt(scene_type: SceneType, data_dir: str = DEFAULT_DATA_DIR)
     elif t == SceneType.Custom:
         meshes = load_mesh(os.path.join(data_dir, "custom.obj"))
         lights = [PointLight((-1, 1, -1), (1, 1, 1))]
-    return build_scene_arrays(meshes, spheres, lights)
+    return meshes, spheres, lights
+
+
+def replace_lights(scene: SceneArrays, lights: Sequence[Light],
+                   min_slots: int = 8) -> SceneArrays:
+    """Rebuild only the light arrays — the interactive light editor's
+    mutation path (add/remove/move lights, main.cpp:275-368). Slots are
+    padded to min_slots so repeated edits below that capacity reuse one
+    compiled render executable (static shapes)."""
+    import jax.numpy as jnp
+
+    pls = [l for l in lights if isinstance(l, PointLight)]
+    sls = [l for l in lights if isinstance(l, SegmentLight)]
+    qls = [l for l in lights if isinstance(l, ParallelogramLight)]
+
+    def pack(items, getters):
+        n = max(min_slots, len(items))
+        arrs = [np.zeros((n, 3), np.float32) for _ in getters]
+        mask = np.zeros(n, bool)
+        for i, it in enumerate(items):
+            for a, g in zip(arrs, getters):
+                a[i] = _f(g(it))
+            mask[i] = True
+        return arrs, mask
+
+    (pp, pc), pmask = pack(pls, [lambda l: l.position, lambda l: l.color])
+    (s0, s1, sc0, sc1), smask = pack(
+        sls, [lambda l: l.endpoint0, lambda l: l.endpoint1,
+              lambda l: l.color0, lambda l: l.color1])
+    (q0, qe1, qe2, qc0, qc1, qc2, qc3), qmask = pack(
+        qls, [lambda l: l.v0, lambda l: l.edge01, lambda l: l.edge02,
+              lambda l: l.color0, lambda l: l.color1, lambda l: l.color2,
+              lambda l: l.color3])
+    j = jnp.asarray
+    return dataclasses.replace(
+        scene,
+        point_pos=j(pp), point_color=j(pc), point_mask=j(pmask),
+        seg_p0=j(s0), seg_p1=j(s1), seg_c0=j(sc0), seg_c1=j(sc1),
+        seg_mask=j(smask),
+        par_v0=j(q0), par_e01=j(qe1), par_e02=j(qe2),
+        par_c0=j(qc0), par_c1=j(qc1), par_c2=j(qc2), par_c3=j(qc3),
+        par_mask=j(qmask))
 
 
 def load_scene_from_file(path: str, lights: Sequence[Light]) -> SceneArrays:

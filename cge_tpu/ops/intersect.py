@@ -150,7 +150,7 @@ class Accel(NamedTuple):
 
     perm: jax.Array   # [L, C] i32 triangle ids, -1 pad
     aabbs: jax.Array  # [L, 8] f32 cluster AABBs (lo3, hi3, pad2)
-    tiles: jax.Array  # [L, C, 16] f32 (pack_cluster_tiles layout)
+    tiles: jax.Array  # [L, 16, C] f32 field-major (pack_cluster_tiles)
 
 
 def build_accel(scene) -> Accel:

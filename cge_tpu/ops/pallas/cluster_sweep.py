@@ -1,30 +1,34 @@
 """Pallas TPU kernel: cluster-culled closest-hit / any-hit sweep.
 
 The TPU-native acceleration structure. Triangles are pre-permuted into
-spatially-coherent clusters of CLUSTER_SIZE (cge_tpu.ops.bvh.build_clusters)
-and traversal is split to play to each engine's strength:
+spatially-coherent clusters of CLUSTER_SIZE (cge_tpu.ops.bvh.build_clusters),
+grouped into *superclusters* of SUPERCLUSTER consecutive clusters, and
+traversal splits into stages that each play to an engine's strength:
 
-  1. an XLA pre-pass slab-tests every (ray block, cluster) pair — massively
-     parallel, no serial chains — producing each block's front-to-back
-     cluster visit order and entry keys (argsort over ~a hundred keys);
-  2. one grid program per ray block walks its visit order from SMEM and
-     runs dense, divergence-free [C, BR] VPU intersection tiles, stopping
-     as soon as the next cluster's entry t is behind every live ray's
-     current best (a triangle's t is >= its cluster's entry t, so ordered
-     visiting makes the stop exact, like a BVH's ordered traversal).
+  1. a vectorized key pass slab-tests every (ray block, supercluster) pair —
+     massively parallel VPU work, no serial chains;
+  2. an XLA argsort turns the keys into each block's front-to-back
+     supercluster visit order (entry t of the nearest live ray);
+  3. one grid program per ray block walks its order from SMEM: each visited
+     supercluster's member clusters are re-culled per ray against the
+     current best t, and survivors run a dense, divergence-free [C, BR] VPU
+     intersection tile. The walk stops as soon as the next supercluster's
+     entry key is behind every live ray's best t — a triangle's t is >= its
+     cluster's entry t, so ordered visiting makes the stop exact, like a
+     BVH's ordered traversal, while every tile that does run is dense SIMD
+     work with rays on the lane axis.
 
-The serial loop therefore runs ~|plausible set| iterations with a single
-scalar reduction each — versus a per-(block, cluster) grid (launch overhead
-dominated at tens of thousands of programs) or an in-kernel argmin loop
-(multiple serializing reductions per cluster).
+Scale story: small scenes keep the whole packed tile stack VMEM-resident
+(zero streaming); big scenes leave it in HBM (lane-padded so supercluster
+slices are DMA-alignable) and double-buffer-DMA only *visited*
+superclusters, so scene size is bounded by HBM and per-block work by the
+plausible set.
 
-Triangle data is packed as precomputed plane + edge-plane constants
-(16 lanes: n, D, then m_i = cross(n, edge_i), b_i = dot(m_i, v_i) for the
-three edges): the reference's pointInTriangle edge test
-dot(cross(edge_i, p - v_i), n) >= 0 equals dot(m_i, p) - b_i >= 0 by the
-scalar-triple-product identity, and p = o + t*d turns it into two dot
-products — ~25% fewer VPU ops per pair than materializing p and the cross
-products, with no per-pair gathers.
+The 16 packed fields are plane + edge-plane constants (n, D, then
+m_i = cross(n, edge_i), b_i = dot(m_i, v_i)): the reference's
+pointInTriangle edge test dot(cross(edge_i, p - v_i), n) >= 0 equals
+dot(m_i, p) - b_i >= 0 by the scalar-triple-product identity, and
+p = o + t*d turns it into two dot products — no per-pair cross products.
 
 Modes:
   - closest (default): reference accept rules (0 <= t <= budget), last
@@ -36,8 +40,7 @@ Modes:
     shadow rays when the transparency feature is off (light.cpp:60-63 only
     needs *a* blocker then).
   - shared_origin: static promise that all rays share one origin (primary
-    pinhole rays): hoists the o-dot products out of the pair loop
-    ([C, 1] instead of [C, BR]).
+    pinhole rays): hoists the o-dot products out of the pair loop.
 """
 
 from __future__ import annotations
@@ -52,23 +55,33 @@ from jax.experimental.pallas import tpu as pltpu
 from cge_tpu.ops.bvh import CLUSTER_SIZE
 
 DEFAULT_BR = 512
-# max clusters per grid group: bounds the VMEM tile-stack block
-DEFAULT_GROUP = 512
+# clusters per supercluster: the visit/DMA granularity of the sweep
+SUPERCLUSTER = 8
+# compact tile stacks up to this size stay VMEM-resident (no per-visit DMA)
+RESIDENT_TILE_BYTES = 4 * 1024 * 1024
 FLT_MAX = 3.4028234663852886e38  # python float: jnp scalars would be captured consts
 _DONE = -3.0e38                  # any-hit sentinel: stops visiting for that ray
 
+_INVALID_ROW = [0.0] * 4 + [0.0, 0.0, 0.0, 1.0] * 3   # b_i = 1 kills edges
 
-def pack_cluster_tiles(vertices, tris, perm):
+
+def pack_cluster_tiles(vertices, tris, perm, hbm: bool | None = None):
     """Build the packed cluster constants inside jit.
 
     perm: [L, C] int32 triangle ids (-1 = pad). Returns:
       aabbs [L, 8] f32 — lanes 0:3 cluster AABB lower, 3:6 upper, 2 pad;
-      tiles [L, C, 16] f32 — per-triangle plane + edge-plane constants:
-        lanes (nx, ny, nz, D, m0, b0, m1, b1, m2, b2) with m_i 3-wide.
+      tiles [L, C, W] f32 — per-triangle constants in lanes 0:16
+        (nx, ny, nz, D, m0, b0, m1, b1, m2, b2 with m_i 3-wide); W = 16
+        for the VMEM-resident layout, 128 (lane-padded, DMA-alignable
+        supercluster slices) when the stack will live in HBM.
     Invalid (pad) triangles get all-zero constants with b_i = 1, which makes
     every edge test fail (s_i = -1 < 0) — no separate valid lane needed.
+
+    hbm: force the layout; None picks by RESIDENT_TILE_BYTES.
     """
     L, C = perm.shape
+    if hbm is None:
+        hbm = L * C * 16 * 4 > RESIDENT_TILE_BYTES
     safe = jnp.maximum(perm, 0)
     tv = vertices[tris[safe]]                # [L, C, 3, 3]
     v0, v1, v2 = tv[:, :, 0], tv[:, :, 1], tv[:, :, 2]
@@ -91,12 +104,13 @@ def pack_cluster_tiles(vertices, tris, perm):
         m0[..., 0], m0[..., 1], m0[..., 2], b0,
         m1[..., 0], m1[..., 1], m1[..., 2], b1,
         m2[..., 0], m2[..., 1], m2[..., 2], b2], axis=-1)   # [L, C, 16]
-    # pad triangles: zero constants, b = 1 => edge tests always fail
-    inval = jnp.array([0.] * 4 + [0., 0., 0., 1.] * 3, jnp.float32)
+    inval = jnp.asarray(_INVALID_ROW, jnp.float32)
     tri_rows = jnp.where(valid[..., None], tri_rows, inval)
+    if hbm:
+        tri_rows = jnp.pad(tri_rows, ((0, 0), (0, 0), (0, 112)))
 
-    # cluster AABBs over valid triangles; empty clusters land at +inf lower
-    # (slab entry t = +inf => never visited)
+    # cluster AABBs over valid triangles; empty clusters land at +inf lower,
+    # -inf upper (slab entry t = +inf => never visited, unions ignore them)
     big = jnp.where(valid[..., None, None], tv, jnp.inf)
     small = jnp.where(valid[..., None, None], tv, -jnp.inf)
     lo = big.min(axis=(1, 2))                          # [L, 3]
@@ -106,9 +120,10 @@ def pack_cluster_tiles(vertices, tris, perm):
 
 
 def _entry_slab(rays, lo_cols, hi_cols):
-    """Per-(cluster, ray) slab entry t within budget: [L?, BR], inf = miss.
+    """Per-(box, ray) slab entry t within budget: [S?, BR], inf = miss.
 
-    rays: [8, BR] packed block; lo_cols/hi_cols: three [L?, 1] column pairs.
+    rays: [8, BR] packed block; lo_cols/hi_cols: 3-tuples of [S?, 1]
+    box-coordinate columns (S? broadcasts against the ray lanes).
     """
     o = (rays[0:1], rays[1:2], rays[2:3])
     d = (rays[3:4], rays[4:5], rays[5:6])
@@ -130,45 +145,55 @@ def _entry_slab(rays, lo_cols, hi_cols):
 
 
 def _keys_kernel(ray_ref, aabb_ref, keys_ref):
-    """Pass 1: per-block cluster entry keys [Lp, 1] (min over the block's
-    rays). Vectorized VPU work only — no serial chains, and the [Lp, BR]
-    intermediate lives in VMEM registers, never HBM."""
+    """Key pass: per-block box entry keys [S, 1] (min over the block's
+    rays). Pure vectorized VPU work; the [S, BR] intermediate lives in
+    VMEM, never HBM."""
     rays = ray_ref[0]
     lo = tuple(aabb_ref[:, k:k + 1] for k in range(3))
     hi = tuple(aabb_ref[:, 3 + k:4 + k] for k in range(3))
-    entry = _entry_slab(rays, lo, hi)                  # [Lp, BR]
+    entry = _entry_slab(rays, lo, hi)                  # [S, BR]
     keys_ref[0] = jnp.min(entry, axis=1, keepdims=True)
 
 
-def _block_entry_keys(rays, aabbs, interpret=False):
-    """Per-block cluster entry keys [NB, Lp] via the pass-1 kernel."""
+def _block_entry_keys(rays, aabbs, interpret=False, box_chunk=1024):
+    """Per-block box entry keys [NB, S]. rays: [NB, 8, BR]; aabbs: [S, 8].
+
+    The box axis is chunked so the [chunk, BR] slab intermediate stays well
+    under the VMEM scoped limit for scenes with many boxes."""
     NB = rays.shape[0]
-    Lp = aabbs.shape[0]
+    S = aabbs.shape[0]
+    KC = min(box_chunk, S)
+    KG = -(-S // KC)
+    pad = KG * KC - S
+    if pad:
+        pad_row = jnp.concatenate([
+            jnp.full((pad, 3), FLT_MAX, jnp.float32),
+            jnp.full((pad, 3), -FLT_MAX, jnp.float32),
+            jnp.zeros((pad, 2), jnp.float32)], axis=1)
+        aabbs = jnp.concatenate([aabbs, pad_row], axis=0)
     keys = pl.pallas_call(
         _keys_kernel,
-        grid=(NB,),
+        grid=(NB, KG),
         in_specs=[
-            pl.BlockSpec((1, 8, rays.shape[2]), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, 8, rays.shape[2]), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((Lp, 8), lambda i: (0, 0),
+            pl.BlockSpec((KC, 8), lambda i, j: (j, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, Lp, 1), lambda i: (i, 0, 0),
+        out_specs=pl.BlockSpec((1, KC, 1), lambda i, j: (i, j, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((NB, Lp, 1), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((NB, KG * KC, 1), jnp.float32),
         interpret=interpret,
     )(rays, aabbs)
-    return keys[:, :, 0]
+    return keys[:, :S, 0]
 
 
-def _cluster_kernel(order_ref, skey_ref, ray_ref, tile_ref,
-                    best_t_ref, best_i_ref, *, c, lg, any_hit, shared_origin):
-    j = pl.program_id(1)
-
-    @pl.when(j == 0)
-    def _():
-        best_t_ref[:] = jnp.full_like(best_t_ref, jnp.inf)
-        best_i_ref[:] = jnp.full_like(best_i_ref, -1)
+def _cluster_kernel(order_ref, skey_ref, ray_ref, aabb_ref, tile_ref,
+                    best_t_ref, best_i_ref, buf_ref, sem_ref, *,
+                    c, sc_n, n_sc, any_hit, shared_origin, resident,
+                    refine_members):
+    best_t_ref[:] = jnp.full_like(best_t_ref, jnp.inf)
+    best_i_ref[:] = jnp.full_like(best_i_ref, -1)
 
     rays = ray_ref[0]                                 # [8, BR]
     o_x, o_y, o_z = rays[0:1], rays[1:2], rays[2:3]   # [1, BR]
@@ -176,9 +201,13 @@ def _cluster_kernel(order_ref, skey_ref, ray_ref, tile_ref,
     tm = rays[6:7]
     live = tm >= 0
 
-    def dense(pick):
-        """One [C, BR] intersection tile against cluster `pick`."""
-        tri = tile_ref[pl.ds(pick, 1), :, :][0]       # [C, 16]
+    def dense(cl, m, slot, base):
+        """One [C, BR] intersection tile against cluster `cl`'s constants
+        (VMEM-resident stack, or DMA buffer slot when the stack is HBM)."""
+        if resident:
+            tri = tile_ref[pl.ds(cl, 1), :, :][0]     # [C, 16]
+        else:
+            tri = buf_ref[slot, m]                    # [C, 128] (lanes 0:16)
 
         def col(k):
             return tri[:, k:k + 1]                    # [C, 1]
@@ -210,8 +239,7 @@ def _cluster_kernel(order_ref, skey_ref, ray_ref, tile_ref,
         else:
             t = jnp.where(ok, t, jnp.inf)
             tmin = jnp.min(t, axis=0, keepdims=True)          # [1, BR]
-            base = ((j * lg + pick) * c).astype(jnp.float32)
-            flat = base + jax.lax.broadcasted_iota(
+            flat = base.astype(jnp.float32) + jax.lax.broadcasted_iota(
                 jnp.int32, (c, 1), 0).astype(jnp.float32)
             idx = jnp.max(jnp.where(t == tmin, flat, -1.0),
                           axis=0, keepdims=True).astype(jnp.int32)
@@ -221,67 +249,122 @@ def _cluster_kernel(order_ref, skey_ref, ray_ref, tile_ref,
         best_t_ref[0] = jnp.broadcast_to(new_t, best_t_ref.shape[1:])
         best_i_ref[0] = jnp.broadcast_to(new_i, best_i_ref.shape[1:])
 
-    # front-to-back visit with exact stop: cluster k can improve some ray
-    # iff its entry key <= max over live rays of min(best, budget); keys are
-    # visited ascending, so the first failing key ends the whole block. The
-    # x4 unroll amortizes the serializing scalar stop-check over four dense
-    # tiles (at most 3 wasted tiles per block).
-    unroll = min(4, lg)
+    def member_entry(cl):
+        """Refined per-ray slab entry for ONE cluster: [1, BR]."""
+        box = aabb_ref[pl.ds(cl, 1), :]               # [1, 8]
+        lo = tuple(box[:, k:k + 1] for k in range(3))
+        hi = tuple(box[:, 3 + k:4 + k] for k in range(3))
+        return _entry_slab(rays, lo, hi)
+
+    def past(key, need):
+        # no remaining supercluster can help: next key behind every live
+        # ray's need, or +inf (= no live ray enters it; inf > inf is False,
+        # so the finiteness test is load-bearing for blocks of
+        # unbounded-budget rays that miss everything)
+        return jnp.logical_or(key > need, key >= FLT_MAX)
+
+    def get_dma(slot, step):
+        """DMA of visit `step`'s supercluster tiles into buffer `slot`."""
+        sc = order_ref[0, 0, step]
+        return pltpu.make_async_copy(
+            tile_ref.at[pl.ds(sc * sc_n, sc_n)], buf_ref.at[slot],
+            sem_ref.at[slot])
 
     def cond(carry):
         step, stop = carry
-        return jnp.logical_and(step < lg, jnp.logical_not(stop))
-
-    def past(key, need):
-        # no remaining cluster can help: next key behind every live ray's
-        # need, or +inf (= no live ray enters it at all; note inf > inf is
-        # False, so the explicit finiteness test is load-bearing for blocks
-        # of unbounded-budget rays that miss everything)
-        return jnp.logical_or(key > need, key >= FLT_MAX)
+        return jnp.logical_and(step < n_sc, jnp.logical_not(stop))
 
     def visit(carry):
         step, _ = carry
-        for u in range(unroll):
-            dense(order_ref[0, 0, jnp.minimum(step + u, lg - 1)])
-        step = step + unroll
+        sc = order_ref[0, 0, step]
+        slot = jax.lax.rem(step, 2)
+        if not resident:
+            # invariant: this visit's DMA was started by the previous
+            # iteration (or the warm-up), so only a wait remains here
+            get_dma(slot, step).wait()
         prev_t = best_t_ref[0, 0:1, :]
-        need = jnp.max(jnp.where(live, jnp.minimum(prev_t, tm), -jnp.inf))
+        for m in range(sc_n):
+            cl = sc * sc_n + m
+            if refine_members:
+                # per-cluster re-cull against the current best before the
+                # dense tile — pays off when member tiles are often skipped
+                # (big scenes); for small resident stacks the extra
+                # reductions/branches cost more than the skipped tiles
+                entry = member_entry(cl)
+
+                @pl.when(jnp.any(entry <= prev_t))
+                def _(m=m, cl=cl):
+                    dense(cl, m, slot, cl * c)
+            else:
+                dense(cl, m, slot, cl * c)
+        step = step + 1
+        new_t = best_t_ref[0, 0:1, :]
+        need = jnp.max(jnp.where(live, jnp.minimum(new_t, tm), -jnp.inf))
         stop = jnp.logical_or(
-            step >= lg, past(skey_ref[0, 0, jnp.minimum(step, lg - 1)], need))
+            step >= n_sc,
+            past(skey_ref[0, 0, jnp.minimum(step, n_sc - 1)], need))
+        if not resident:
+            # prefetch the next visit's tiles; started iff the loop
+            # continues, so no DMA is ever left dangling at exit
+            @pl.when(jnp.logical_not(stop))
+            def _():
+                get_dma(jax.lax.rem(step, 2),
+                        jnp.minimum(step, n_sc - 1)).start()
         return step, stop
 
     # first-key guard: an all-dead / no-overlap block does zero visits
     need0 = jnp.max(jnp.where(live, tm, -jnp.inf))
-    jax.lax.while_loop(cond, visit,
-                       (jnp.int32(0), past(skey_ref[0, 0, 0], need0)))
+    stop0 = past(skey_ref[0, 0, 0], need0)
+    if not resident:
+        @pl.when(jnp.logical_not(stop0))
+        def _():
+            get_dma(0, 0).start()
+    jax.lax.while_loop(cond, visit, (jnp.int32(0), stop0))
 
 
-@functools.partial(jax.jit, static_argnames=("br", "group", "any_hit",
+@functools.partial(jax.jit, static_argnames=("br", "sc_n", "any_hit",
                                              "shared_origin", "interpret"))
 def pallas_cluster_tris(o, d, tmax, aabbs, tiles, perm, br=DEFAULT_BR,
-                        group=DEFAULT_GROUP, any_hit=False,
+                        sc_n=None, any_hit=False,
                         shared_origin=False, interpret=False):
     """Cluster-accelerated triangle sweep.
 
     o, d: [R, 3]; tmax: [R] per-ray budget (-1 = dead ray);
-    aabbs, tiles: from pack_cluster_tiles; perm: [L, C] cluster permutation.
+    aabbs [L, 8], tiles [L, C, 16|128]: from pack_cluster_tiles (the lane
+    width selects VMEM-resident vs HBM+DMA traversal); perm: [L, C].
 
     closest mode: returns (best_t [R], best_idx [R] — *scene* triangle ids,
     -1 on miss).  any_hit mode: returns (hit [R] bool, hit [R] bool) — no
     meaningful t.
     """
     R = o.shape[0]
-    L, C, _ = tiles.shape
-    Lg = min(group, L)
-    G = -(-L // Lg)
-    padL = G * Lg - L
+    L, C, W = tiles.shape
+    resident = W == 16
+    if sc_n is None:
+        # resident stacks visit per cluster (finest ordering, no wasted
+        # dense tiles); HBM stacks amortize the DMA over SUPERCLUSTER tiles
+        sc_n = 1 if resident else SUPERCLUSTER
+    n_sc = -(-L // sc_n)
+    padL = n_sc * sc_n - L
     if padL:
-        # far-away empty clusters: slab entry +inf, never visited
-        aabbs = jnp.pad(aabbs, ((0, padL), (0, 0)),
-                        constant_values=FLT_MAX)
-        inval = jnp.array([0.] * 4 + [0., 0., 0., 1.] * 3, jnp.float32)
+        # empty clusters: slab entry +inf, never refined into a dense tile
+        pad_row = jnp.concatenate([
+            jnp.full((padL, 3), FLT_MAX, jnp.float32),
+            jnp.full((padL, 3), -FLT_MAX, jnp.float32),
+            jnp.zeros((padL, 2), jnp.float32)], axis=1)
+        aabbs = jnp.concatenate([aabbs, pad_row], axis=0)
+        inval = jnp.pad(jnp.asarray(_INVALID_ROW, jnp.float32), (0, W - 16))
         tiles = jnp.concatenate(
-            [tiles, jnp.broadcast_to(inval, (padL, C, 16))], axis=0)
+            [tiles, jnp.broadcast_to(inval, (padL, C, W))], axis=0)
+    Lp = n_sc * sc_n
+
+    # supercluster AABBs: union of member boxes (empty members are
+    # lo=+inf/hi=-inf and vanish in the min/max)
+    sc_lo = aabbs[:, 0:3].reshape(n_sc, sc_n, 3).min(axis=1)
+    sc_hi = aabbs[:, 3:6].reshape(n_sc, sc_n, 3).max(axis=1)
+    sc_aabbs = jnp.concatenate(
+        [sc_lo, sc_hi, jnp.zeros((n_sc, 2), jnp.float32)], axis=1)
+
     Rp = -(-R // br) * br
 
     def pad_r(x, fill=0.0):
@@ -294,42 +377,57 @@ def pallas_cluster_tris(o, d, tmax, aabbs, tiles, perm, br=DEFAULT_BR,
     rays = rays.reshape(8, Rp // br, br).transpose(1, 0, 2)   # [NB, 8, BR]
 
     n_ray_blocks = Rp // br
-    # per-(block, group) front-to-back visit order over the group's clusters
-    keys = _block_entry_keys(rays, aabbs, interpret)   # [NB, G*Lg]
-    keys = keys.reshape(n_ray_blocks, G, Lg)
+    # per-block front-to-back supercluster visit order ([NB, 1, S] so the
+    # (1, 1, S) SMEM block equals the array's trailing dims)
+    keys = _block_entry_keys(rays, sc_aabbs, interpret)   # [NB, S]
     order = jnp.argsort(keys, axis=-1).astype(jnp.int32)
     skeys = jnp.take_along_axis(keys, order, axis=-1)
+    order = order[:, None, :]
+    skeys = skeys[:, None, :]
+
+    tile_spec = (pl.BlockSpec((Lp, C, 16), lambda i: (0, 0, 0),
+                              memory_space=pltpu.VMEM)
+                 if resident else pl.BlockSpec(memory_space=pltpu.ANY))
 
     best_t, best_i = pl.pallas_call(
-        functools.partial(_cluster_kernel, c=C, lg=Lg, any_hit=any_hit,
-                          shared_origin=shared_origin),
-        grid=(n_ray_blocks, G),
+        functools.partial(_cluster_kernel, c=C, sc_n=sc_n, n_sc=n_sc,
+                          any_hit=any_hit, shared_origin=shared_origin,
+                          resident=resident, refine_members=not resident),
+        grid=(n_ray_blocks,),
         in_specs=[
-            pl.BlockSpec((1, 1, Lg), lambda i, j: (i, j, 0),
+            pl.BlockSpec((1, 1, n_sc), lambda i: (i, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, Lg), lambda i, j: (i, j, 0),
+            pl.BlockSpec((1, 1, n_sc), lambda i: (i, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 8, br), lambda i, j: (i, 0, 0),
+            pl.BlockSpec((1, 8, br), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((Lg, C, 16), lambda i, j: (j, 0, 0),
+            pl.BlockSpec((Lp, 8), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
+            tile_spec,
         ],
         out_specs=(
-            pl.BlockSpec((1, 8, br), lambda i, j: (i, 0, 0),
+            pl.BlockSpec((1, 8, br), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, br), lambda i, j: (i, 0, 0),
+            pl.BlockSpec((1, 8, br), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((n_ray_blocks, 8, br), jnp.float32),
             jax.ShapeDtypeStruct((n_ray_blocks, 8, br), jnp.int32),
         ),
+        scratch_shapes=[
+            pltpu.VMEM((1, 1, 8, 128) if resident else (2, sc_n, C, 128),
+                       jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
         cost_estimate=pl.CostEstimate(
-            flops=55 * Rp * L * C // 8,   # assume ~12% of tiles survive
+            flops=55 * Rp * min(L, 64) * C // 8,
             bytes_accessed=(Rp * 8 + L * C * 16 + L * 8) * 4,
             transcendentals=0),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=32 * 1024 * 1024),
         interpret=interpret,
-    )(order, skeys, rays, tiles)
+    )(order, skeys, rays, aabbs, tiles)
     best_t = best_t[:, 0, :].reshape(-1)[:R]
     flat = best_i[:, 0, :].reshape(-1)[:R]
     if any_hit:

@@ -75,7 +75,9 @@ class RenderParams:
     ray_tile: int = 2048
     # rays per compiled trace body: bigger wavefronts are lax.map-chunked at
     # this size so XLA compile time / VMEM stay resolution-independent
-    trace_chunk: int = 65536
+    # (16k also keeps the whole-level dead-skip granularity fine enough to
+    # matter on mirror-bounce levels — measured best on the teapot bench)
+    trace_chunk: int = 16384
     # triangles per tile in the intersection scan
     tri_tile: int = 512
     # mesh-axis name/size for primitive-sharded closest hit (the TP analogue;

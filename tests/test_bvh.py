@@ -172,3 +172,23 @@ def test_cluster_sweep_shared_origin(cornell):
     np.testing.assert_allclose(np.asarray(t1), np.asarray(t0),
                                rtol=5e-6, atol=1e-7)
     np.testing.assert_array_equal(np.asarray(i1), np.asarray(i0))
+
+
+def test_cluster_sweep_hbm_layout_matches_resident(cornell):
+    """The HBM (lane-padded, DMA-streamed) traversal must agree with the
+    VMEM-resident layout exactly."""
+    o, d = _rays(cornell, 16)
+    tmax = jnp.full(o.shape[0], jnp.inf, jnp.float32)
+    perm = jnp.asarray(build_clusters(cornell.vertices, cornell.tris,
+                                      cornell.tri_mask))
+    aabbs, tiles_res = pack_cluster_tiles(cornell.vertices, cornell.tris,
+                                          perm, hbm=False)
+    _, tiles_hbm = pack_cluster_tiles(cornell.vertices, cornell.tris,
+                                      perm, hbm=True)
+    assert tiles_res.shape[2] == 16 and tiles_hbm.shape[2] == 128
+    t0, i0 = pallas_cluster_tris(o, d, tmax, aabbs, tiles_res, perm, br=128,
+                                 interpret=True)
+    t1, i1 = pallas_cluster_tris(o, d, tmax, aabbs, tiles_hbm, perm, br=128,
+                                 interpret=True)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i0))
+    np.testing.assert_array_equal(np.asarray(t1), np.asarray(t0))

@@ -60,10 +60,33 @@ def _trace_rays(scene, o, d, features, params, key):
     return cols.reshape(-1, 3)[:N]
 
 
+@functools.lru_cache(maxsize=16)
+def _tile_swizzle(width: int, height: int, tw: int = 32, th: int = 16):
+    """Pixel permutation into tw x th screen tiles (and its inverse).
+
+    The sweep kernel works on 512-ray blocks; in scan order a block is one
+    full image row — a frustum spanning the whole scene horizontally, so its
+    plausible cluster set is huge. A 32x16 tile is a compact frustum: the
+    per-block front-to-back traversal visits ~4x fewer clusters on
+    geometry-heavy scenes (measured on the 1M-triangle scale scene)."""
+    import numpy as np
+    idx = np.arange(width * height).reshape(height, width)
+    parts = [idx[by:by + th, bx:bx + tw].ravel()
+             for by in range(0, height, th)
+             for bx in range(0, width, tw)]
+    sw = np.concatenate(parts)
+    inv = np.argsort(sw)
+    # numpy (not jnp): jnp arrays created under a jit trace must not be
+    # cached across traces (UnexpectedTracerError)
+    return sw, inv
+
+
 def _render_impl(scene, camera: Camera, features: Features,
                  params: RenderParams, width: int, height: int, seed):
     key = jax.random.PRNGKey(seed)
     grid = pixel_grid(width, height).reshape(-1, 2)          # [N,2] screen order
+    swizzle, unswizzle = _tile_swizzle(width, height)
+    grid = grid[swizzle]                                     # ray-coherent tiles
     N = grid.shape[0]
     pixel_size = jnp.array([2.0 / width, 2.0 / height], jnp.float32)
 
@@ -97,7 +120,7 @@ def _render_impl(scene, camera: Camera, features: Features,
         color_sum = color_sum + col
         weight += 1
 
-    final = color_sum / float(weight)
+    final = (color_sum / float(weight))[unswizzle]           # back to scan order
     # assemble buffer: screen row y -> buffer row H-1-y (screen.cpp:41-47)
     buffer = jnp.flipud(final.reshape(height, width, 3))
     if features.enable_bloom_effect:

@@ -63,9 +63,12 @@ def main():
     aabbs, tiles = pack(V, T, perm)
     np.asarray(aabbs)
 
+    from cge_tpu.render.renderer import _tile_swizzle
+
     cam = Camera(look_at=(0.0, 0.0, 3.0), distance=6.0)
     grid = pixel_grid(512, 512).reshape(-1, 2)
-    o, d = cam.generate_rays(grid)
+    sw, _ = _tile_swizzle(512, 512)     # renderer's coherent tile order
+    o, d = cam.generate_rays(grid[sw])
     tmax = jnp.full(o.shape[0], jnp.inf, jnp.float32)
 
     f = jax.jit(lambda o, d, t, a, tl, p: pallas_cluster_tris(o, d, t, a,

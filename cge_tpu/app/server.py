@@ -61,7 +61,15 @@ def make_handler(state: AppState):
             elif url.path == "/api/output" :
                 q = parse_qs(url.query)
                 path = q.get("path", [""])[0]
-                if path.startswith(state.output_dir) and os.path.exists(path):
+                # resolve symlinks/.. before the containment check: a bare
+                # startswith would pass '/out/../etc/passwd' and sibling
+                # prefix dirs like '/out_x/'
+                real = os.path.realpath(path)
+                out_real = os.path.realpath(state.output_dir)
+                contained = (os.path.commonpath([real, out_real]) == out_real
+                             if os.path.isabs(real) else False)
+                if contained and os.path.exists(real):
+                    path = real
                     with open(path, "rb") as f:
                         self._send(200, f.read(), "image/bmp")
                 else:

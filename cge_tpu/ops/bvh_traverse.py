@@ -29,8 +29,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-FLT_MAX = jnp.float32(3.4028234663852886e38)
-FLT_MIN = jnp.float32(1.1754943508222875e-38)
+FLT_MAX = np.float32(3.4028234663852886e38)
+FLT_MIN = np.float32(1.1754943508222875e-38)
 STACK = 24  # depth <= 16 -> sp <= 17; headroom
 
 

@@ -33,8 +33,12 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-FLT_MAX = jnp.float32(3.4028234663852886e38)
+# numpy (not jnp) scalars: a jnp constant at import time would initialize
+# the XLA backend, which must not happen before jax.distributed.initialize
+# in multi-host processes (tests/multihost_worker.py)
+FLT_MAX = np.float32(3.4028234663852886e38)
 
 
 def _dot(a, b):
@@ -97,7 +101,7 @@ def intersect_spheres_t(o, d, tmax, center, radius):
     return jnp.where(ok, t, jnp.inf)
 
 
-FLT_MIN = jnp.float32(1.1754943508222875e-38)
+FLT_MIN = np.float32(1.1754943508222875e-38)
 
 
 def intersect_aabb(o, d, tmax, lower, upper):
@@ -150,7 +154,9 @@ class Accel(NamedTuple):
 
     perm: jax.Array   # [L, C] i32 triangle ids, -1 pad
     aabbs: jax.Array  # [L, 8] f32 cluster AABBs (lo3, hi3, pad2)
-    tiles: jax.Array  # [L, 16, C] f32 field-major (pack_cluster_tiles)
+    tiles: jax.Array  # [L, C, 16|128] f32, the 16 packed fields on the lane
+    #                   axis (128-padded for the HBM layout) — see
+    #                   pack_cluster_tiles
 
 
 def build_accel(scene) -> Accel:
@@ -333,15 +339,6 @@ def any_hit_occlusion(scene, o, d, tmax, accel: Accel | None = None):
         ts = jnp.where(scene.sph_mask[None, :], ts, jnp.inf)
         return tri_hit | jnp.isfinite(jnp.min(ts, axis=1))
     return closest_hit_chunked(scene, o, d, tmax, accel=accel).hit
-
-
-def any_hit_shadow(scene, o, d, ray_chunk: int = 2048, tri_tile: int = 512):
-    """Occlusion query with budget t=1 (unnormalized direction): returns
-    True where *any* primitive blocks the segment o -> o+d
-    (light.cpp:60-61). Uses the same acceptance rules as closest_hit."""
-    tmax = jnp.ones(o.shape[0], jnp.float32)
-    res = closest_hit_chunked(scene, o, d, tmax, ray_chunk, tri_tile)
-    return res.hit
 
 
 @functools.partial(jax.jit, static_argnames=())

@@ -60,6 +60,7 @@ SUPERCLUSTER = 8
 # compact tile stacks up to this size stay VMEM-resident (no per-visit DMA)
 RESIDENT_TILE_BYTES = 4 * 1024 * 1024
 FLT_MAX = 3.4028234663852886e38  # python float: jnp scalars would be captured consts
+FLT_MIN = 1.1754943508222875e-38
 _DONE = -3.0e38                  # any-hit sentinel: stops visiting for that ray
 
 _INVALID_ROW = [0.0] * 4 + [0.0, 0.0, 0.0, 1.0] * 3   # b_i = 1 kills edges
@@ -124,11 +125,18 @@ def _entry_slab(rays, lo_cols, hi_cols):
 
     rays: [8, BR] packed block; lo_cols/hi_cols: 3-tuples of [S?, 1]
     box-coordinate columns (S? broadcasts against the ray lanes).
+
+    Inverted boxes (lo > hi on any axis — the lo=+inf/hi=-inf empty-cluster
+    and pad encodings) are explicitly invalid: without the lo<=hi term the
+    per-axis min/max swap would turn them into (-inf, +inf) slabs with entry
+    key 0, making pad superclusters sort FIRST in every visit order and
+    defeating the zero-visit early-out.
     """
     o = (rays[0:1], rays[1:2], rays[2:3])
     d = (rays[3:4], rays[4:5], rays[5:6])
     tm = rays[6:7]
     tnear, tfar = None, None
+    box_ok = None
     for ax in range(3):
         nz = d[ax] != 0
         inv = jnp.where(nz, 1.0 / jnp.where(nz, d[ax], 1.0), 0.0)
@@ -139,20 +147,100 @@ def _entry_slab(rays, lo_cols, hi_cols):
         a, b = jnp.minimum(t1, t2), jnp.maximum(t1, t2)
         tnear = a if tnear is None else jnp.maximum(tnear, a)
         tfar = b if tfar is None else jnp.minimum(tfar, b)
+        ok = lo_cols[ax] <= hi_cols[ax]
+        box_ok = ok if box_ok is None else (box_ok & ok)
     live = tm >= 0
-    geo = (tnear <= tfar) & (tfar >= 0) & live & (tnear <= tm)
+    geo = (tnear <= tfar) & (tfar >= 0) & live & (tnear <= tm) & box_ok
     return jnp.where(geo, jnp.maximum(tnear, 0.0), jnp.inf)
 
 
 def _keys_kernel(ray_ref, aabb_ref, keys_ref):
     """Key pass: per-block box entry keys [S, 1] (min over the block's
     rays). Pure vectorized VPU work; the [S, BR] intermediate lives in
-    VMEM, never HBM."""
+    VMEM, never HBM. All-dead blocks (every tmax < 0 — bounce levels after
+    ray sorting bunch them together) skip the slab math entirely."""
     rays = ray_ref[0]
-    lo = tuple(aabb_ref[:, k:k + 1] for k in range(3))
-    hi = tuple(aabb_ref[:, 3 + k:4 + k] for k in range(3))
-    entry = _entry_slab(rays, lo, hi)                  # [S, BR]
-    keys_ref[0] = jnp.min(entry, axis=1, keepdims=True)
+    keys_ref[0] = jnp.full_like(keys_ref[0], jnp.inf)
+
+    @pl.when(jnp.any(rays[6] >= 0))
+    def _():
+        lo = tuple(aabb_ref[:, k:k + 1] for k in range(3))
+        hi = tuple(aabb_ref[:, 3 + k:4 + k] for k in range(3))
+        entry = _entry_slab(rays, lo, hi)                  # [S, BR]
+        keys_ref[0] = jnp.min(entry, axis=1, keepdims=True)
+
+
+def _block_frustum_keys(rays, aabbs):
+    """Per-block CONSERVATIVE box entry keys [NB, S] via interval
+    arithmetic — the cheap replacement for the exact per-ray key pass.
+
+    Each ray block is summarized by interval hulls of its origins and
+    directions (the 32x16 tile swizzle keeps both tight); the slab test then
+    runs once per (block, box) pair instead of once per (ray, box) pair —
+    ~BR x less work. The returned key is a true LOWER bound on every live
+    ray's clipped entry t, so the kernel's ordered early stop stays exact
+    (a lower bound can only delay the stop, never skip work that matters);
+    visit order is approximate front-to-back.
+
+    rays: [NB, 8, BR]; aabbs: [S, 8]. inf = provably no live ray can enter.
+    """
+    o = rays[:, 0:3, :]                                    # [NB, 3, BR]
+    d = rays[:, 3:6, :]
+    tm = rays[:, 6, :]                                     # [NB, BR]
+    live = tm >= 0
+    lv = live[:, None, :]
+    ol = jnp.min(jnp.where(lv, o, jnp.inf), axis=-1)       # [NB, 3]
+    oh = jnp.max(jnp.where(lv, o, -jnp.inf), axis=-1)
+    dl = jnp.min(jnp.where(lv, d, jnp.inf), axis=-1)
+    dh = jnp.max(jnp.where(lv, d, -jnp.inf), axis=-1)
+    tmx = jnp.max(jnp.where(live, tm, -jnp.inf), axis=-1)  # [NB]
+    any_live = jnp.any(live, axis=-1)
+
+    blo = aabbs[:, 0:3]                                    # [S, 3]
+    bhi = aabbs[:, 3:6]
+    box_ok = jnp.all(blo <= bhi, axis=-1)                  # [S]
+
+    tnear_lb, tfar_ub = None, None
+    for ax in range(3):
+        bl = blo[None, :, ax]                              # [1, S]
+        bh = bhi[None, :, ax]
+        o0 = ol[:, None, ax]                               # [NB, 1]
+        o1 = oh[:, None, ax]
+        d0 = dl[:, None, ax]
+        d1 = dh[:, None, ax]
+        # numerator intervals for the two slab planes
+        n1a, n1b = bl - o1, bl - o0                        # (blo - o)
+        n2a, n2b = bh - o1, bh - o0                        # (bhi - o)
+        # interval division candidates. When the d interval spans 0, t(d) is
+        # still monotone on each sign side, so endpoint divisions bound the
+        # finite extrema — exact-zero endpoints are nudged to +/-FLT_MIN
+        # (huge, conservative candidates).
+        spans0 = (d0 <= 0) & (d1 >= 0)
+        safe0 = jnp.where(d0 != 0, d0, -FLT_MIN)
+        safe1 = jnp.where(d1 != 0, d1, FLT_MIN)
+        cands = [n1a / safe0, n1a / safe1, n1b / safe0, n1b / safe1,
+                 n2a / safe0, n2a / safe1, n2b / safe0, n2b / safe1]
+        lo_ax = cands[0]
+        hi_ax = cands[0]
+        for c in cands[1:]:
+            lo_ax = jnp.minimum(lo_ax, c)
+            hi_ax = jnp.maximum(hi_ax, c)
+        # d spanning 0 with an origin possibly INSIDE the slab: a
+        # near-parallel inside ray enters at -inf — conservative pass. An
+        # origin strictly outside keeps the finite endpoint bound (t -> +inf
+        # as d -> 0 there, which never lowers the min). The exit bound stays
+        # +FLT_MAX either way (near-parallel rays exit arbitrarily late,
+        # and the kernel's exact-zero-dir quirk passes the slab outright).
+        o_in_slab = (o1 >= bl) & (o0 <= bh)
+        lo_ax = jnp.where(spans0 & o_in_slab, -FLT_MAX, lo_ax)
+        hi_ax = jnp.where(spans0, FLT_MAX, hi_ax)
+        tnear_lb = lo_ax if tnear_lb is None else jnp.maximum(tnear_lb, lo_ax)
+        tfar_ub = hi_ax if tfar_ub is None else jnp.minimum(tfar_ub, hi_ax)
+
+    maybe = ((tnear_lb <= tfar_ub) & (tfar_ub >= 0)
+             & (tnear_lb <= tmx[:, None]) & any_live[:, None]
+             & box_ok[None, :])
+    return jnp.where(maybe, jnp.maximum(tnear_lb, 0.0), jnp.inf)
 
 
 def _block_entry_keys(rays, aabbs, interpret=False, box_chunk=1024):
@@ -319,14 +407,23 @@ def _cluster_kernel(order_ref, skey_ref, ray_ref, aabb_ref, tile_ref,
         @pl.when(jnp.logical_not(stop0))
         def _():
             get_dma(0, 0).start()
-    jax.lax.while_loop(cond, visit, (jnp.int32(0), stop0))
+    steps, _ = jax.lax.while_loop(cond, visit, (jnp.int32(0), stop0))
+    # stash the block's visit count in (unused) row 1 of the index output:
+    # exact dense-tile work for the resident path (refine_members off), an
+    # upper bound for the HBM path — the roofline accounting in bench.py
+    best_i_ref[0, 1:2, :] = jnp.broadcast_to(
+        steps, (1, best_i_ref.shape[2]))
 
 
 @functools.partial(jax.jit, static_argnames=("br", "sc_n", "any_hit",
-                                             "shared_origin", "interpret"))
+                                             "shared_origin", "interpret",
+                                             "with_stats", "refine_members",
+                                             "exact_keys"))
 def pallas_cluster_tris(o, d, tmax, aabbs, tiles, perm, br=DEFAULT_BR,
                         sc_n=None, any_hit=False,
-                        shared_origin=False, interpret=False):
+                        shared_origin=False, interpret=False,
+                        with_stats=False, refine_members=None,
+                        exact_keys=True):
     """Cluster-accelerated triangle sweep.
 
     o, d: [R, 3]; tmax: [R] per-ray budget (-1 = dead ray);
@@ -335,11 +432,15 @@ def pallas_cluster_tris(o, d, tmax, aabbs, tiles, perm, br=DEFAULT_BR,
 
     closest mode: returns (best_t [R], best_idx [R] — *scene* triangle ids,
     -1 on miss).  any_hit mode: returns (hit [R] bool, hit [R] bool) — no
-    meaningful t.
+    meaningful t.  with_stats appends a third result: per-ray-block
+    supercluster visit counts [NB] i32 (dense work actually executed —
+    exact on the resident path, an upper bound with refine_members).
     """
     R = o.shape[0]
     L, C, W = tiles.shape
     resident = W == 16
+    if refine_members is None:
+        refine_members = not resident
     if sc_n is None:
         # resident stacks visit per cluster (finest ordering, no wasted
         # dense tiles); HBM stacks amortize the DMA over SUPERCLUSTER tiles
@@ -378,8 +479,14 @@ def pallas_cluster_tris(o, d, tmax, aabbs, tiles, perm, br=DEFAULT_BR,
 
     n_ray_blocks = Rp // br
     # per-block front-to-back supercluster visit order ([NB, 1, S] so the
-    # (1, 1, S) SMEM block equals the array's trailing dims)
-    keys = _block_entry_keys(rays, sc_aabbs, interpret)   # [NB, S]
+    # (1, 1, S) SMEM block equals the array's trailing dims). Default: the
+    # O(NB*S) conservative frustum key pass; exact_keys selects the
+    # O(NB*S*BR) per-ray pass (tightest possible order + earliest stop —
+    # only worth it when visits, not keys, dominate).
+    if exact_keys:
+        keys = _block_entry_keys(rays, sc_aabbs, interpret)   # [NB, S]
+    else:
+        keys = _block_frustum_keys(rays, sc_aabbs)            # [NB, S]
     order = jnp.argsort(keys, axis=-1).astype(jnp.int32)
     skeys = jnp.take_along_axis(keys, order, axis=-1)
     order = order[:, None, :]
@@ -387,12 +494,12 @@ def pallas_cluster_tris(o, d, tmax, aabbs, tiles, perm, br=DEFAULT_BR,
 
     tile_spec = (pl.BlockSpec((Lp, C, 16), lambda i: (0, 0, 0),
                               memory_space=pltpu.VMEM)
-                 if resident else pl.BlockSpec(memory_space=pltpu.ANY))
+                 if resident else pl.BlockSpec(memory_space=pl.ANY))
 
     best_t, best_i = pl.pallas_call(
         functools.partial(_cluster_kernel, c=C, sc_n=sc_n, n_sc=n_sc,
                           any_hit=any_hit, shared_origin=shared_origin,
-                          resident=resident, refine_members=not resident),
+                          resident=resident, refine_members=refine_members),
         grid=(n_ray_blocks,),
         in_specs=[
             pl.BlockSpec((1, 1, n_sc), lambda i: (i, 0, 0),
@@ -428,11 +535,12 @@ def pallas_cluster_tris(o, d, tmax, aabbs, tiles, perm, br=DEFAULT_BR,
             vmem_limit_bytes=32 * 1024 * 1024),
         interpret=interpret,
     )(order, skeys, rays, aabbs, tiles)
+    visits = best_i[:, 1, 0]                       # [NB] per-block visit count
     best_t = best_t[:, 0, :].reshape(-1)[:R]
     flat = best_i[:, 0, :].reshape(-1)[:R]
     if any_hit:
         hit = flat > 0
-        return hit, hit
+        return (hit, hit, visits) if with_stats else (hit, hit)
     scene_ids = jnp.where(flat >= 0, perm.reshape(-1)[jnp.maximum(flat, 0)],
                           -1)
-    return best_t, scene_ids
+    return (best_t, scene_ids, visits) if with_stats else (best_t, scene_ids)

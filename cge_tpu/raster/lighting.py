@@ -49,13 +49,15 @@ def vertex_materials(scene):
     per material and vertices deduped per mesh — framework/src/mesh.cpp:
     79-119 — so each vertex has a unique material)."""
     V = scene.vertices.shape[0]
-    vert_mat = jnp.zeros(V, jnp.int32)
+    # scatter into a V+1 buffer: masked-out padding triangles write to the
+    # sentinel row V instead of clobbering vertex 0's material
+    vert_mat = jnp.zeros(V + 1, jnp.int32)
     valid = scene.tri_mask
     tm = jnp.where(valid, scene.tri_mat, 0)
     for k in range(3):
-        idx = jnp.where(valid, scene.tris[:, k], 0)
+        idx = jnp.where(valid, scene.tris[:, k], V)
         vert_mat = vert_mat.at[idx].set(tm)
-    return scene.mat_kd[vert_mat]
+    return scene.mat_kd[vert_mat[:V]]
 
 
 def gl_vertex_colors(scene):

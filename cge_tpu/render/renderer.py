@@ -25,7 +25,8 @@ from cge_tpu.render.wavefront import trace
 from cge_tpu.types import Features, RenderParams
 
 
-def _trace_rays(scene, o, d, features, params, key):
+def _trace_rays(scene, o, d, features, params, key,
+                shared_origin: bool = False):
     # optimization_barrier: fusing the ray-generation producer chain into
     # the intersection sweep SIGILLs the XLA:TPU fusion cost model
     # (TpuPriorityFusionQueue::NormalizedComputationCost) at some shapes;
@@ -34,7 +35,8 @@ def _trace_rays(scene, o, d, features, params, key):
     N = o.shape[0]
     C = params.trace_chunk
     if N <= C:
-        return trace(scene, o, d, features, params, key)
+        return trace(scene, o, d, features, params, key,
+                     shared_origin=shared_origin)
     # Chunk big wavefronts through one compiled trace body (lax.map): XLA
     # compile time and VMEM footprint stay bounded by the chunk shape
     # instead of growing with resolution. The packed cluster tiles are
@@ -53,7 +55,8 @@ def _trace_rays(scene, o, d, features, params, key):
     def body(args):
         i, oo, dd = args
         return trace(scene, oo, dd, features, params,
-                     jax.random.fold_in(key, i), accel=accel)
+                     jax.random.fold_in(key, i), accel=accel,
+                     shared_origin=shared_origin)
 
     cols = jax.lax.map(body, (jnp.arange(nc),
                               o_p.reshape(nc, C, 3), d_p.reshape(nc, C, 3)))
@@ -99,7 +102,7 @@ def _render_impl(scene, camera: Camera, features: Features,
                                     jax.random.fold_in(key, 101))
         o, d = camera.generate_rays(pos.reshape(-1, 2))
         col = _trace_rays(scene, o, d, features, params,
-                          jax.random.fold_in(key, 1))
+                          jax.random.fold_in(key, 1), shared_origin=True)
         color_sum = color_sum + col.reshape(N, n * n, 3).mean(axis=1)
         weight += 1
 
@@ -116,7 +119,7 @@ def _render_impl(scene, camera: Camera, features: Features,
             or features.enable_depth_of_field):
         o, d = camera.generate_rays(grid)
         col = _trace_rays(scene, o, d, features, params,
-                          jax.random.fold_in(key, 3))
+                          jax.random.fold_in(key, 3), shared_origin=True)
         color_sum = color_sum + col
         weight += 1
 

@@ -68,23 +68,54 @@ class HitAttrs(NamedTuple):
     transparency: jax.Array  # [N]
 
 
-def hit_attributes(scene, o, d, ids: HitIds, features) -> HitAttrs:
+# packed attribute-table layout (pack_attr_table): one [T, 40] row per
+# triangle so hit_attributes does ONE gather per ray instead of ~11
+# (measured 4x faster per bounce level on TPU — gathers dominate a level).
+# lanes: 0:9 v0 v1 v2 | 9:18 n0 n1 n2 | 18:24 kd ks | 24 shininess |
+# 25 transparency | 26:32 uv0 uv1 uv2 | 32 tex_id (as f32) | 33:40 pad
+_ATTR_W = 40
+
+
+def pack_attr_table(scene):
+    """Build the per-triangle attribute rows [T, 40] (differentiable: the
+    gathers here scatter-add gradients back to vertices/normals/uvs/
+    materials in reverse mode — built once per trace, reused by every
+    bounce level)."""
+    T = scene.tris
+    V = scene.vertices
+    Nr = scene.normals
+    UV = scene.uvs
+    mid = scene.tri_mat
+    cols = [V[T[:, 0]], V[T[:, 1]], V[T[:, 2]],
+            Nr[T[:, 0]], Nr[T[:, 1]], Nr[T[:, 2]],
+            scene.mat_kd[mid], scene.mat_ks[mid],
+            scene.mat_shininess[mid][:, None],
+            scene.mat_transparency[mid][:, None],
+            UV[T[:, 0]], UV[T[:, 1]], UV[T[:, 2]],
+            scene.mat_tex[mid][:, None].astype(jnp.float32)]
+    rows = jnp.concatenate(cols, axis=1)
+    return jnp.pad(rows, ((0, 0), (0, _ATTR_W - rows.shape[1])))
+
+
+def hit_attributes(scene, o, d, ids: HitIds, features,
+                   attr_rows=None) -> HitAttrs:
     """Gather + recompute hit attributes from discrete hit ids.
 
     The discrete selection (which primitive) carries stop_gradient; the
     continuous quantities (t, barycentrics, normals, texcoords) are
     recomputed from scene parameters so gradients flow to vertices,
-    materials, lights and texels.
+    materials, lights and texels. attr_rows: prebuilt pack_attr_table
+    rows (one gather per ray); built here when not supplied.
     """
     prim = _sg(ids.prim)
     is_sphere = _sg(ids.is_sphere)
     hit = _sg(ids.hit)
 
-    # --- triangle branch
-    tri = scene.tris[prim]                       # [N,3]
-    v0 = scene.vertices[tri[:, 0]]
-    v1 = scene.vertices[tri[:, 1]]
-    v2 = scene.vertices[tri[:, 2]]
+    # --- triangle branch: one packed row gather
+    if attr_rows is None:
+        attr_rows = pack_attr_table(scene)
+    row = attr_rows[prim]                        # [N, 40]
+    v0, v1, v2 = row[:, 0:3], row[:, 3:6], row[:, 6:9]
     n_geo_raw, D = triangle_plane(v0, v1, v2)
     denom = _dot(d, n_geo_raw)
     denom = jnp.where(jnp.abs(denom) > 0, denom, 1.0)     # NaN-safe for grads
@@ -112,9 +143,7 @@ def hit_attributes(scene, o, d, ids: HitIds, features) -> HitAttrs:
     # --- normal fill (bounding_volume_hierarchy.cpp:369-404)
     if features.enable_normal_interp:
         bary = barycentric_coord(v0, v1, v2, p)
-        n0 = scene.normals[tri[:, 0]]
-        n1 = scene.normals[tri[:, 1]]
-        n2 = scene.normals[tri[:, 2]]
+        n0, n1, n2 = row[:, 9:12], row[:, 12:15], row[:, 15:18]
         n_i = interpolate_normal(n0, n1, n2, bary)
         flip = _dot(n_i, d) > 0
         n_tri = jnp.where(flip[:, None], -n_i, n_i)       # flip quirk (383-387)
@@ -125,21 +154,21 @@ def hit_attributes(scene, o, d, ids: HitIds, features) -> HitAttrs:
     n_sph = _normalize(p - ctr)
     normal = jnp.where(is_sphere[:, None], n_sph, n_tri)
 
-    # --- material fill (bvh cpp:407-424)
-    tri_mid = scene.tri_mat[prim]
+    # --- material fill (bvh cpp:407-424): triangles read the packed row;
+    # spheres (few) override via their own material gathers
     sph_mid = scene.sph_mat[prim]
-    mid = jnp.where(is_sphere, sph_mid, tri_mid)
-    kd = scene.mat_kd[mid]
-    ks = scene.mat_ks[mid]
-    shininess = scene.mat_shininess[mid]
-    transparency = scene.mat_transparency[mid]
+    kd = jnp.where(is_sphere[:, None], scene.mat_kd[sph_mid], row[:, 18:21])
+    ks = jnp.where(is_sphere[:, None], scene.mat_ks[sph_mid], row[:, 21:24])
+    shininess = jnp.where(is_sphere, scene.mat_shininess[sph_mid],
+                          row[:, 24])
+    transparency = jnp.where(is_sphere, scene.mat_transparency[sph_mid],
+                             row[:, 25])
 
     if features.enable_texture_mapping:
-        tex_id = scene.mat_tex[mid]
+        tex_id = jnp.where(is_sphere, scene.mat_tex[sph_mid],
+                           _sg(row[:, 32]).astype(jnp.int32))
         bary_t = barycentric_coord(v0, v1, v2, p)
-        uv0 = scene.uvs[tri[:, 0]]
-        uv1 = scene.uvs[tri[:, 1]]
-        uv2 = scene.uvs[tri[:, 2]]
+        uv0, uv1, uv2 = row[:, 26:28], row[:, 28:30], row[:, 30:32]
         uv = interpolate_texcoord(uv0, uv1, uv2, bary_t)
         texel = acquire_texel(scene.textures, scene.tex_hw, tex_id, uv,
                               features.enable_bilinear_texture_filtering)
@@ -150,28 +179,87 @@ def hit_attributes(scene, o, d, ids: HitIds, features) -> HitAttrs:
                     shininess=shininess, transparency=transparency)
 
 
+def _part1by2(x):
+    """Spread the low 10 bits of x to every 3rd bit (morton interleave)."""
+    x = x & 0x3ff
+    x = (x | (x << 16)) & 0x30000ff
+    x = (x | (x << 8)) & 0x300f00f
+    x = (x | (x << 4)) & 0x30c30c3
+    x = (x | (x << 2)) & 0x9249249
+    return x
+
+
+def _ray_sort_perm(o, d, tmax, accel: Accel):
+    """Coherence permutation for a divergent ray batch: direction octant
+    (3 bits) then a 27-bit morton code of the origin within the scene's
+    cluster bounds. Dead rays (tmax < 0) sort to the end, so their whole
+    512-ray blocks hit the kernel's zero-visit early-out.
+
+    Secondary (bounce/shadow) rays scatter in direction after the first
+    hit; in screen order their blocks' frustums cover most of the scene and
+    the per-block sweep loses its early stop. Sorting restores the
+    coherence the 32x16 primary-tile swizzle provides for bounce rays —
+    the wavefront-compaction step of a classic GPU path tracer, expressed
+    as one argsort + gathers (SURVEY.md §7 'wavefront megakernel')."""
+    lo = jnp.min(accel.aabbs[:, 0:3], axis=0)
+    hi = jnp.max(accel.aabbs[:, 3:6], axis=0)
+    ext = jnp.maximum(hi - lo, 1e-20)
+    q = jnp.clip((o - lo) / ext * 1024.0, 0.0, 1023.0).astype(jnp.int32)
+    morton = (_part1by2(q[:, 0]) << 2) | (_part1by2(q[:, 1]) << 1) \
+        | _part1by2(q[:, 2])
+    octant = ((d[:, 0] > 0).astype(jnp.int32) * 4
+              + (d[:, 1] > 0).astype(jnp.int32) * 2
+              + (d[:, 2] > 0).astype(jnp.int32))
+    key = (octant << 27) | morton
+    key = jnp.where(tmax >= 0, key, jnp.int32(0x7FFFFFFF))
+    return jnp.argsort(key)
+
+
 def _intersect_and_shade(scene, o, d, features, params, key,
-                         alive=None, accel: Accel | None = None):
+                         alive=None, accel: Accel | None = None,
+                         shared_origin: bool = False,
+                         sort_rays: bool = False, tables=None):
     """One bounce: closest hit, attributes, local radiance.
 
     alive: optional [N] bool — dead rays get tmax = -1, which both sweep
     paths treat as an unconditional miss and the cluster kernel exploits to
-    skip whole tiles (its block cull requires a live ray)."""
+    skip whole tiles (its block cull requires a live ray).
+    shared_origin: static promise that every ray in the batch shares one
+    origin (pinhole primary rays) — the cluster kernel hoists the
+    origin-side dot products out of its dense tiles.
+    sort_rays: permute the batch into coherent blocks first (bounce levels;
+    see _ray_sort_perm) — everything below, including the shadow sweeps in
+    light_contribution, then runs on coherent blocks; outputs are
+    unpermuted on return. Changes the per-ray threefry sample assignment of
+    the stochastic features (same distribution) and exact-t tie blocks —
+    the documented divergence classes."""
     N = o.shape[0]
     if alive is None:
         tmax = jnp.full(N, jnp.inf, jnp.float32)
     else:
         tmax = jnp.where(alive, jnp.inf, -1.0)
+
+    sort_rays = sort_rays and accel is not None and _on_tpu()
+    if sort_rays:
+        perm = _ray_sort_perm(_sg(o), _sg(d), _sg(tmax), accel)
+        inv = jnp.argsort(perm)
+        o, d, tmax = o[perm], d[perm], tmax[perm]
+        alive = None if alive is None else alive[perm]
+
     ids = closest_hit_chunked(scene, o, d, tmax, params.ray_tile,
                               params.tri_tile, params.prims_axis,
-                              params.prims_axis_size, accel=accel)
-    attrs = hit_attributes(scene, o, d, ids, features)
+                              params.prims_axis_size, accel=accel,
+                              shared_origin=shared_origin)
+    attrs = hit_attributes(scene, o, d, ids, features, attr_rows=tables)
     local = light_contribution(scene, o, d, attrs.t, attrs.normal, attrs.kd,
                                attrs.ks, attrs.shininess, features, params,
                                key, alive=jnp.asarray(attrs.hit)
                                if alive is None else (alive & attrs.hit),
                                accel=accel)
     local = jnp.where(attrs.hit[:, None], local, 0.0)
+    if sort_rays:
+        attrs = jax.tree.map(lambda x: x[inv], attrs)
+        local = local[inv]
     return attrs, local
 
 
@@ -259,7 +347,8 @@ def _unroll_depth(scene, params, features) -> int:
 
 def _scan_chain(scene, o, d, W, acc, features, params, key,
                 start_level: int, n_levels: int, tail_trans: bool = False,
-                accel: Accel | None = None):
+                accel: Accel | None = None, shared_origin: bool = False,
+                tables=None):
     """Run n_levels affine-chain bounces as one lax.scan (single compiled
     body — a 12x-unrolled python loop trips XLA:CPU's MLIR limits and bloats
     TPU compile time).
@@ -267,60 +356,92 @@ def _scan_chain(scene, o, d, W, acc, features, params, key,
     tail_trans selects the coefficient set for the post-branching tail of
     the TRANS+REC tree: A = (1-t), B = t, child = continuation ray
     (render.cpp:122-130 with depth gates all closed).
+
+    shared_origin runs the FIRST level as its own 1-iteration scan whose
+    body promises a single shared ray origin (pinhole primary rays) — the
+    cluster kernel's fast path. It stays a scan (not a peel into straight-
+    line code) so the level-0 math compiles as a loop body in every calling
+    context and chunked/unchunked renders remain bit-identical.
     """
     if n_levels <= 0:
         return acc
     alive = W != 0.0
 
-    def body(carry, level):
-        o, d, W, acc, alive = carry
-        k = jax.random.fold_in(key, level)
-        # whole-level skip: once every ray is dead (e.g. an all-diffuse
-        # scene past bounce 0) the remaining scan levels cost one predicate
-        attrs, local = jax.lax.cond(
-            jnp.any(alive),
-            lambda o, d, alive: _intersect_and_shade(
-                scene, o, d, features, params, k, alive, accel),
-            lambda o, d, alive: _dead_attrs(o.shape[0]),
-            o, d, alive)
-        live_hit = alive & attrs.hit
-        depth_remaining = params.ray_depth - level
-        if tail_trans:
-            trans_ne1 = attrs.transparency != 1.0
-            A = jnp.where(trans_ne1, 1.0 - attrs.transparency, 1.0)
-            B = jnp.where(trans_ne1, attrs.transparency, 0.0)
-            co = (1e-5 + attrs.t)[:, None] * d + o
-            cd = d
-        else:
-            A, B = _chain_coefficients(attrs, depth_remaining, features)
-            co, cd = _child_ray(o, d, attrs, features)
-        acc = acc + jnp.where(live_hit[:, None], (W * A)[:, None] * local, 0.0)
-        W = jnp.where(live_hit, W * B, 0.0)
-        alive = live_hit & (W != 0.0)
-        o = jnp.where(alive[:, None], co, o)
-        d = jnp.where(alive[:, None], cd, d)
-        return (o, d, W, acc, alive), None
+    def make_body(first: bool):
+        def body(carry, level):
+            o, d, W, acc, alive = carry
+            k = jax.random.fold_in(key, level)
+            # whole-level skip: once every ray is dead (e.g. an all-diffuse
+            # scene past bounce 0) the remaining scan levels cost one
+            # predicate. (Bounce rays are NOT re-sorted into coherent
+            # blocks: measured on teapot-512, the per-ray liveness culls in
+            # the sweep already absorb the divergence, and the sort/unsort
+            # gathers cost more than they save — see _ray_sort_perm.)
+            attrs, local = jax.lax.cond(
+                jnp.any(alive),
+                lambda o, d, alive: _intersect_and_shade(
+                    scene, o, d, features, params, k, alive, accel,
+                    tables=tables),
+                lambda o, d, alive: _dead_attrs(o.shape[0]),
+                o, d, alive)
+            live_hit = alive & attrs.hit
+            depth_remaining = params.ray_depth - level
+            if tail_trans:
+                trans_ne1 = attrs.transparency != 1.0
+                A = jnp.where(trans_ne1, 1.0 - attrs.transparency, 1.0)
+                B = jnp.where(trans_ne1, attrs.transparency, 0.0)
+                co = (1e-5 + attrs.t)[:, None] * d + o
+                cd = d
+            else:
+                A, B = _chain_coefficients(attrs, depth_remaining, features)
+                co, cd = _child_ray(o, d, attrs, features)
+            acc = acc + jnp.where(live_hit[:, None],
+                                  (W * A)[:, None] * local, 0.0)
+            W = jnp.where(live_hit, W * B, 0.0)
+            alive = live_hit & (W != 0.0)
+            o = jnp.where(alive[:, None], co, o)
+            d = jnp.where(alive[:, None], cd, d)
+            return (o, d, W, acc, alive), None
+        return body
 
     levels = jnp.arange(start_level, start_level + n_levels)
-    (o, d, W, acc, alive), _ = jax.lax.scan(body, (o, d, W, acc, alive), levels)
-    return acc
+    carry = (o, d, W, acc, alive)
+    if shared_origin:
+        # the caller promises level start_level's rays are already coherent
+        # (the renderer's 32x16 swizzle) — split it out of the scan so only
+        # the divergent bounce levels pay the re-sort. Barriers pin the
+        # level subgraph: a 1-iteration scan is unrolled, and without them
+        # XLA fuses it differently inline vs inside the chunking lax.map,
+        # breaking chunked == unchunked bit-exactness.
+        carry = jax.lax.optimization_barrier(carry)
+        carry, _ = jax.lax.scan(make_body(True), carry, levels[:1])
+        carry = jax.lax.optimization_barrier(carry)
+        levels = levels[1:]
+    if levels.shape[0]:
+        carry, _ = jax.lax.scan(make_body(False), carry, levels)
+    return carry[3]
 
 
-def trace_chain(scene, o, d, features, params, key, accel=None):
+def trace_chain(scene, o, d, features, params, key, accel=None,
+                shared_origin: bool = False, tables=None):
     """Linear-chain wavefront trace (all modes except TRANS+REC and glossy).
 
-    o, d: [N, 3]. Returns radiance [N, 3].
+    o, d: [N, 3]. Returns radiance [N, 3]. shared_origin peels bounce 0 out
+    of the scan and runs it with the pinhole fast path (all primary rays
+    share the camera origin; bounce children do not).
     """
     N = o.shape[0]
     acc = jnp.zeros((N, 3), jnp.float32)
     W = jnp.ones(N, jnp.float32)
     unroll = _unroll_depth(scene, params, features)
     return _scan_chain(scene, o, d, W, acc, features, params, key, 0, unroll,
-                       accel=accel)
+                       accel=accel, shared_origin=shared_origin,
+                       tables=tables)
 
 
 def trace_tree_trans_recursive(scene, o, d, features, params, key, level=0,
-                               accel: Accel | None = None):
+                               accel: Accel | None = None,
+                               shared_origin: bool = False, tables=None):
     """TRANS + REC (glossy off): two distinct children per bounce.
 
     result = (1-t)*(local + g1*RT(mirror) + g2*RT(cont)) + t*RT(cont)
@@ -336,10 +457,11 @@ def trace_tree_trans_recursive(scene, o, d, features, params, key, level=0,
         tail = _unroll_depth(scene, params, features) - level
         return _scan_chain(scene, o, d, jnp.ones(N, jnp.float32),
                            jnp.zeros((N, 3), jnp.float32), features, params,
-                           key, level, tail, tail_trans=True, accel=accel)
+                           key, level, tail, tail_trans=True, accel=accel,
+                           tables=tables)
     k = jax.random.fold_in(key, level)
     attrs, local = _intersect_and_shade(scene, o, d, features, params, k,
-                                        accel=accel)
+                                        accel=accel, tables=tables)
     valid_mirror = jnp.any(attrs.ks != 0.0, axis=-1)
     t_mat = attrs.transparency
     trans_ne1 = t_mat != 1.0
@@ -359,10 +481,10 @@ def trace_tree_trans_recursive(scene, o, d, features, params, key, level=0,
 
     child_mirror = trace_tree_trans_recursive(
         scene, mo, md, features, params, jax.random.fold_in(k, 7), level + 1,
-        accel=accel)
+        accel=accel, tables=tables)
     child_second = trace_tree_trans_recursive(
         scene, so, sd, features, params, jax.random.fold_in(k, 11), level + 1,
-        accel=accel)
+        accel=accel, tables=tables)
     child_mirror = jnp.where(valid_mirror[:, None], child_mirror, 0.0)
     child_second = jnp.where(valid2[:, None], child_second, 0.0)
 
@@ -404,7 +526,8 @@ def _glossy_sample_dirs(attrs, md, n_samples, params, key):
     return dirs, above
 
 
-def trace_glossy(scene, o, d, features, params, key, accel=None):
+def trace_glossy(scene, o, d, features, params, key, accel=None,
+                 shared_origin: bool = False, tables=None):
     """Glossy reflections (render.cpp:56-99), wavefront form.
 
     Reference semantics per bounce (glossy feature on, material shininess
@@ -426,7 +549,7 @@ def trace_glossy(scene, o, d, features, params, key, accel=None):
     S = params.rays_per_reflection
     k0 = jax.random.fold_in(key, 0)
     attrs, local = _intersect_and_shade(scene, o, d, features, params, k0,
-                                        accel=accel)
+                                        accel=accel, tables=tables)
     valid_mirror = jnp.any(attrs.ks != 0.0, axis=-1)
     glossy_active = valid_mirror & (attrs.shininess != 0.0)
     mo, md, _ = compute_reflection_ray(o, d, attrs.t, attrs.normal, attrs.ks)
@@ -464,7 +587,8 @@ def trace_glossy(scene, o, d, features, params, key, accel=None):
         attrs, local = jax.lax.cond(
             jnp.any(live_in),
             lambda o, d, a: _intersect_and_shade(scene, o, d, features,
-                                                 params, k, a, accel),
+                                                 params, k, a, accel,
+                                                 tables=tables),
             lambda o, d, a: _dead_attrs(o.shape[0]),
             o, d, live_in)
         alive = live_in & attrs.hit
@@ -496,17 +620,26 @@ def trace_glossy(scene, o, d, features, params, key, accel=None):
     return jnp.where(attrs.hit[:, None], lo, 0.0)
 
 
-def trace(scene, o, d, features, params, key, accel=None):
+def trace(scene, o, d, features, params, key, accel=None,
+          shared_origin: bool = False):
     """Dispatch to the right statically-specialized trace shape.
 
     accel: pass a prebuilt Accel to share the packed cluster tiles across
     chunked trace calls (cge_tpu.render.renderer); None builds one here.
+    shared_origin: static promise that all rays share one origin (pinhole
+    primary batches — plain and MSAA paths; not DoF). Only the first bounce
+    exploits it; children scatter to per-ray origins.
     """
     if accel is None:
         accel = scene_accel(scene, features)
+    tables = pack_attr_table(scene)
     if features.enable_recursive and features.enable_glossy_reflection:
-        return trace_glossy(scene, o, d, features, params, key, accel=accel)
+        return trace_glossy(scene, o, d, features, params, key, accel=accel,
+                            shared_origin=shared_origin, tables=tables)
     if features.enable_recursive and features.enable_transparency:
         return trace_tree_trans_recursive(scene, o, d, features, params, key,
-                                          accel=accel)
-    return trace_chain(scene, o, d, features, params, key, accel=accel)
+                                          accel=accel,
+                                          shared_origin=shared_origin,
+                                          tables=tables)
+    return trace_chain(scene, o, d, features, params, key, accel=accel,
+                       shared_origin=shared_origin, tables=tables)

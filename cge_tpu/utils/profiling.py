@@ -41,10 +41,19 @@ class RenderStats:
 
 
 def count_rays(width: int, height: int, scene, features, params) -> int:
-    """Statically estimate the rays a wavefront render dispatches: per
-    bounce level, one closest-hit ray + one shadow ray per point light per
-    live ray (area lights add their stratified sample counts when soft
-    shadows are on); MSAA/DoF multiply the primary grid."""
+    """Statically count the rays a wavefront render *dispatches*: per
+    dispatched closest-hit unit, one closest-hit ray + one shadow ray per
+    point light (area lights add their stratified sample counts when soft
+    shadows are on); MSAA/DoF multiply the primary grid.
+
+    The per-pixel dispatch-unit count is feature-exact to the trace shapes
+    in cge_tpu.render.wavefront:
+      - chain modes: _unroll_depth scan levels;
+      - TRANS+REC tree: 2^d - 1 branch dispatches plus 2^d tail chains of
+        1 + extra_transparency_unroll levels each (d = ray_depth);
+      - glossy: 1 primary dispatch, then rays_per_reflection fan-out rays
+        scanned for ray_depth levels.
+    """
     n = width * height
     if features.enable_multiple_rays_per_pixel:
         n *= params.rays_per_pixel_side ** 2
@@ -58,8 +67,17 @@ def count_rays(width: int, height: int, scene, features, params) -> int:
             params.segment_light_samples
         shadow += int(np.asarray(scene.par_mask).sum()) * \
             params.parallelogram_light_direction_samples ** 2
-    levels = params.ray_depth + 1 if features.enable_recursive else 1
-    return n * (1 + shadow) * levels
+
+    from cge_tpu.render.wavefront import _unroll_depth
+    if features.enable_recursive and features.enable_glossy_reflection:
+        units = 1 + params.rays_per_reflection * params.ray_depth
+    elif features.enable_recursive and features.enable_transparency:
+        d = params.ray_depth
+        extra = 0 if scene.all_opaque else params.extra_transparency_unroll
+        units = (2 ** d - 1) + 2 ** d * (1 + extra)
+    else:
+        units = _unroll_depth(scene, params, features)
+    return n * (1 + shadow) * units
 
 
 def timed_render(scene, camera, features, params, width, height, seed=0):

@@ -1,5 +1,9 @@
 """Decompose the teapot bench: kernel vs stages vs transfer (axon-safe sync)."""
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp

@@ -439,62 +439,79 @@ def trace_chain(scene, o, d, features, params, key, accel=None,
                        tables=tables)
 
 
-def trace_tree_trans_recursive(scene, o, d, features, params, key, level=0,
+def trace_tree_trans_recursive(scene, o, d, features, params, key,
                                accel: Accel | None = None,
                                shared_origin: bool = False, tables=None):
-    """TRANS + REC (glossy off): two distinct children per bounce.
+    """TRANS + REC (glossy off): two distinct children per bounce, folded
+    into the ray axis (the bounded-wavefront formulation of the
+    reference's 2^depth recursion).
 
-    result = (1-t)*(local + g1*RT(mirror) + g2*RT(cont)) + t*RT(cont)
-    for t != 1 materials (second-block ray is the continuation,
-    render.cpp:108-111; early return 122-130), and the plain double-mirror
-    chain for opaque ones. Branching only happens while depth_remaining >= 1
-    (the gates at render.cpp:52,117); past that only the ungated t != 1
-    continuation path flows — handled by a tail scan chain.
+    Reference semantics (render.cpp:27-150): for a hit with material
+    transparency t,
+
+        result = (1-t)*(local + g1*RT(mirror) + g2*RT(second)) +
+                 t*RT(second)          when t != 1 (early return 122-130)
+        result = local + g1*RT(mirror) + g2*RT(second)   when t == 1
+
+    where g1 = [ks != 0] (first mirror add, render.cpp:100), the second-
+    block ray (108-113) is the transparency continuation when t != 1 and
+    the mirror again when opaque, and g2 = [that ray is valid]. Collecting
+    RT(second) terms makes each bounce affine with TWO weighted children:
+
+        A  = (1-t) or 1          (local weight)
+        wM = A*g1                (mirror child)
+        wS = A*g2 + t or g2      (second child)
+
+    so level l is ONE batched dispatch over N*2^l rays with per-ray
+    product weights — children concatenate as [mirror; second], preserving
+    parent identity at index mod N, so per-level radiance folds back onto
+    the original rays with a reshape-sum. Branching runs while
+    depth_remaining >= 1 (the gates at render.cpp:52,117); the 2^depth
+    leaves then share one tail scan for the ungated t != 1 continuation
+    path. depth+1 compiled sweep bodies instead of 2^depth+1.
     """
-    if level >= params.ray_depth:
-        # tail: only the continuation path survives (g1 = g2 = 0)
-        N = o.shape[0]
-        tail = _unroll_depth(scene, params, features) - level
-        return _scan_chain(scene, o, d, jnp.ones(N, jnp.float32),
-                           jnp.zeros((N, 3), jnp.float32), features, params,
-                           key, level, tail, tail_trans=True, accel=accel,
-                           tables=tables)
-    k = jax.random.fold_in(key, level)
-    attrs, local = _intersect_and_shade(scene, o, d, features, params, k,
-                                        accel=accel, tables=tables)
-    valid_mirror = jnp.any(attrs.ks != 0.0, axis=-1)
-    t_mat = attrs.transparency
-    trans_ne1 = t_mat != 1.0
+    N = o.shape[0]
+    acc = jnp.zeros((N, 3), jnp.float32)
+    co, cd = o, d
+    cw = jnp.ones(N, jnp.float32)
+    for level in range(params.ray_depth):
+        k = jax.random.fold_in(key, level)
+        alive = cw != 0.0
+        attrs, local = _intersect_and_shade(scene, co, cd, features, params,
+                                            k, alive if level else None,
+                                            accel, tables=tables)
+        live_hit = alive & attrs.hit
+        t_mat = attrs.transparency
+        trans_ne1 = t_mat != 1.0
+        valid_mirror = jnp.any(attrs.ks != 0.0, axis=-1)
 
-    mo, md, _ = compute_reflection_ray(o, d, attrs.t, attrs.normal, attrs.ks)
-    co = (1e-5 + attrs.t)[:, None] * d + o
-    cd = d
+        mo, md, _ = compute_reflection_ray(co, cd, attrs.t, attrs.normal,
+                                           attrs.ks)
+        cono = (1e-5 + attrs.t)[:, None] * cd + co      # continuation
+        so = jnp.where(trans_ne1[:, None], cono, mo)    # second-block ray
+        sd = jnp.where(trans_ne1[:, None], cd, md)
 
-    # second-block ray: continuation when t != 1 else mirror (108-113)
-    so = jnp.where(trans_ne1[:, None], co, mo)
-    sd = jnp.where(trans_ne1[:, None], cd, md)
+        g1 = jnp.where(valid_mirror, 1.0, 0.0)
+        g2 = jnp.where(trans_ne1, 1.0, g1)     # continuation always valid
+        A = jnp.where(trans_ne1, 1.0 - t_mat, 1.0)
+        wM = A * g1
+        wS = jnp.where(trans_ne1, A * g2 + t_mat, g2)
 
-    g1 = jnp.where(valid_mirror, 1.0, 0.0)        # depth_remaining >= 1 here
-    # second-block validity: continuation always valid; mirror needs ks != 0
-    valid2 = jnp.where(trans_ne1, True, valid_mirror)
-    g2 = jnp.where(valid2, 1.0, 0.0)
+        contrib = jnp.where(live_hit[:, None], (cw * A)[:, None] * local, 0.0)
+        acc = acc + contrib.reshape(-1, N, 3).sum(axis=0)
 
-    child_mirror = trace_tree_trans_recursive(
-        scene, mo, md, features, params, jax.random.fold_in(k, 7), level + 1,
-        accel=accel, tables=tables)
-    child_second = trace_tree_trans_recursive(
-        scene, so, sd, features, params, jax.random.fold_in(k, 11), level + 1,
-        accel=accel, tables=tables)
-    child_mirror = jnp.where(valid_mirror[:, None], child_mirror, 0.0)
-    child_second = jnp.where(valid2[:, None], child_second, 0.0)
+        co = jnp.concatenate([mo, so])
+        cd = jnp.concatenate([md, sd])
+        cw = jnp.concatenate([jnp.where(live_hit, cw * wM, 0.0),
+                              jnp.where(live_hit, cw * wS, 0.0)])
 
-    lo = local + g1[:, None] * child_mirror + g2[:, None] * child_second
-    # early-return blend (122-130): v = t*RT(second) + (1-t)*Lo — note the
-    # third evaluation of RT(second) in the reference equals child_second.
-    out = jnp.where(trans_ne1[:, None],
-                    t_mat[:, None] * child_second + (1.0 - t_mat[:, None]) * lo,
-                    lo)
-    return jnp.where(attrs.hit[:, None], out, 0.0)
+    # tail: only the ungated t != 1 continuation path flows past depth 0
+    tail = _unroll_depth(scene, params, features) - params.ray_depth
+    tail_acc = _scan_chain(scene, co, cd, cw,
+                           jnp.zeros((co.shape[0], 3), jnp.float32),
+                           features, params, key, params.ray_depth, tail,
+                           tail_trans=True, accel=accel, tables=tables)
+    return acc + tail_acc.reshape(-1, N, 3).sum(axis=0)
 
 
 def _orthonormal_cone_basis(w):

@@ -155,3 +155,48 @@ def test_golden_image_512(name, scene_type, fcsv, need_tpu):
     assert frac >= 0.9995, f"{name}: {frac:.5%} pixels match"
     assert np.quantile(err, 0.9999) < 0.05, (
         f"{name}: 99.99th pct err {np.quantile(err, 0.9999):.3e}")
+
+
+def _with_point_light(scene, pos):
+    """Append a white point light (the oracle's pointlight: extra arg)."""
+    import dataclasses
+
+    import jax.numpy as jnp
+    return dataclasses.replace(
+        scene,
+        point_pos=jnp.concatenate(
+            [scene.point_pos, jnp.array([pos], jnp.float32)]),
+        point_color=jnp.concatenate(
+            [scene.point_color, jnp.ones((1, 3), jnp.float32)]),
+        point_mask=jnp.concatenate(
+            [scene.point_mask, jnp.ones(1, bool)]))
+
+
+# The shipped cube scene's only light is a segment light, which contributes
+# nothing without soft shadows (light.cpp:123-157) — so the plain
+# cube_trans_rec goldens are black and parity there is trivial. These cases
+# add a point light on both sides (oracle pointlight: arg), making the
+# TRANS+REC binary-tree radiance flow (mirror child + continuation child +
+# early-return blend) actually visible.
+@pytest.mark.parametrize("name,res", [
+    ("cube_pl_trans_rec", 64),
+    pytest.param("cube_pl_trans_rec_512", 512, marks=pytest.mark.slow)])
+def test_golden_trans_rec_pointlit(name, res):
+    ref = load_golden(name)
+    h, w = ref.shape[:2]
+    assert (h, w) == (res, res)
+    scene = _with_point_light(load_scene_prebuilt(SceneType.Cube),
+                              (-1.0, 1.5, -1.0))
+    camera = Camera(fovy=np.radians(50.0), distance=3.0, look_at=(0, 0, 0),
+                    rotation=tuple(np.radians((20, 20, 0))), aspect=1.0)
+    feats = Features(enable_shading=True, enable_hard_shadow=True,
+                     enable_transparency=True, enable_recursive=True)
+    img = np.asarray(render_image(scene, camera, feats, RenderParams(),
+                                  w, h))
+    assert np.nanmean(ref) > 0.005, "golden unexpectedly black"
+    both = np.isfinite(ref) & np.isfinite(img)
+    nan_agree = ((~np.isfinite(ref)) == (~np.isfinite(img))).mean()
+    assert nan_agree > 0.999
+    close = np.isclose(img, ref, rtol=1e-4, atol=2e-4) | ~both
+    frac = close.all(axis=-1).mean()
+    assert frac >= 0.995, f"{name}: {frac:.4%} pixels match"

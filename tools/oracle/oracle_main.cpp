@@ -67,6 +67,15 @@ int main(int argc, char** argv)
         return 1;
     }
     Scene scene = loadScenePrebuilt(*sceneType, DATA_DIR);
+    // optional extra white point light: "pointlight:x,y,z" as a 10th arg
+    // (lets deterministic feature combos be golden-tested on scenes whose
+    // only shipped light is an area light, e.g. cube's segment light which
+    // contributes nothing unless soft shadows are on — light.cpp:123-157)
+    for (int a = 10; a < argc; ++a) {
+        if (strncmp(argv[a], "pointlight:", 11) == 0)
+            scene.lights.push_back(
+                PointLight { parseVec3(argv[a] + 11), glm::vec3(1.0f) });
+    }
     BvhInterface bvh { &scene, features };
 
     Window window { glm::ivec2(W, H) };

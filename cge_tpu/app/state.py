@@ -167,8 +167,21 @@ class AppState:
     # -------------------------------------------------------------- debug ray
 
     def shoot_debug_ray(self, nx: float, ny: float):
-        """The R-key debug ray (main.cpp:87-104): nx, ny in [-1, 1]."""
-        o, d = self.camera.generate_rays(np.array([[nx, ny]], np.float32))
+        """The R-key debug ray (main.cpp:87-104): nx, ny in [-1, 1].
+
+        Feature-sensitive like the reference: with MSAA on the full jittered
+        sample fan is shot (main.cpp:95-98), with DoF the disk-sampled ray
+        set (main.cpp:99-100), else the single pinhole ray — all replayed
+        through every bounce level incl. transparency continuations."""
+        from cge_tpu.viz.debug import debug_dof_rays, debug_ray_samples
+
+        if self.features.enable_multiple_rays_per_pixel:
+            o, d = debug_ray_samples(nx, ny, self.camera, self.params,
+                                     self.width, self.height)
+        elif self.features.enable_depth_of_field:
+            o, d = debug_dof_rays(nx, ny, self.camera, self.params)
+        else:
+            o, d = self.camera.generate_rays(np.array([[nx, ny]], np.float32))
         self.debug_levels = debug_trace(self.scene, o, d, self.features,
                                         self.params)
         self.debug_pixel = (float(nx), float(ny))

@@ -41,24 +41,33 @@ class DebugRays(NamedTuple):
 
 
 def debug_trace(scene, o, d, features, params, key=None, depth=None):
-    """Replay the bounce chain for a handful of rays and export every level.
+    """Replay the bounce recursion for a handful of rays, every level and
+    every branch (mirror AND transparency continuation).
 
     Mirrors the interactive debug-ray flow (main.cpp:90-104, 391-433 →
-    recursiveRayTrace with enableDebugDraw): returns a list of DebugRays,
-    one per bounce level, colored like the reference (hit ⇒ shading result,
-    or white when shading is off; miss ⇒ red).
-    """
+    recursiveRayTrace with enableDebugDraw, which draws the rays of every
+    recursive call): returns a list of DebugRays, one per bounce level,
+    colored like the reference (hit ⇒ shading result, or white when shading
+    is off; miss ⇒ red). Child spawning follows the feature-set radiance
+    flow exactly:
+      - REC on: mirror ray when ks != 0 (render.cpp:100); plus, when the
+        hit material has transparency != 1, the second-block continuation
+        ray (render.cpp:108-111) — and with REC off TRANS on, only that
+        continuation (render.cpp:42-43). Dead branches are compacted away
+        host-side (this is eager debug code, dynamic shapes are fine)."""
     key = jax.random.PRNGKey(0) if key is None else key
     depth = params.ray_depth if depth is None else depth
-    o = jnp.atleast_2d(jnp.asarray(o, jnp.float32))
-    d = jnp.atleast_2d(jnp.asarray(d, jnp.float32))
+    o = np.atleast_2d(np.asarray(o, np.float32))
+    d = np.atleast_2d(np.asarray(d, np.float32))
     levels = []
     for level in range(depth + 1):
+        oj = jnp.asarray(o)
+        dj = jnp.asarray(d)
         tmax = jnp.full(o.shape[0], jnp.inf, jnp.float32)
-        ids = closest_hit_chunked(scene, o, d, tmax, params.ray_tile,
+        ids = closest_hit_chunked(scene, oj, dj, tmax, params.ray_tile,
                                   params.tri_tile)
-        attrs = hit_attributes(scene, o, d, ids, features)
-        local = light_contribution(scene, o, d, attrs.t, attrs.normal,
+        attrs = hit_attributes(scene, oj, dj, ids, features)
+        local = light_contribution(scene, oj, dj, attrs.t, attrs.normal,
                                    attrs.kd, attrs.ks, attrs.shininess,
                                    features, params,
                                    jax.random.fold_in(key, level))
@@ -70,14 +79,66 @@ def debug_trace(scene, o, d, features, params, key=None, depth=None):
         color = np.where(hit[:, None], color,
                          np.array([1.0, 0.0, 0.0], np.float32))  # red miss
         t = np.where(hit, np.asarray(attrs.t), 100.0)  # drawRay clamp (cpp:216)
-        levels.append(DebugRays(origin=np.asarray(o), dir=np.asarray(d),
-                                t=t, hit=hit, color=color))
-        if not hit.any():
+        levels.append(DebugRays(origin=o, dir=d, t=t, hit=hit, color=color))
+        if not hit.any() or level == depth:
             break
-        ro, rd, _ = compute_reflection_ray(o, d, attrs.t, attrs.normal,
-                                           attrs.ks)
-        o, d = ro, rd
+
+        # spawn children per the feature-set radiance flow
+        children_o, children_d = [], []
+        trans = np.asarray(attrs.transparency)
+        trans_ne1 = trans != 1.0
+        valid_mirror = np.asarray(jnp.any(attrs.ks != 0.0, axis=-1))
+        if features.enable_recursive:
+            mo, md, _ = compute_reflection_ray(oj, dj, attrs.t, attrs.normal,
+                                               attrs.ks)
+            mo, md = np.asarray(mo), np.asarray(md)
+            take = hit & valid_mirror
+            children_o.append(mo[take])
+            children_d.append(md[take])
+        if features.enable_transparency or (features.enable_recursive
+                                            and trans_ne1.any()):
+            # continuation ray: origin = (1e-5 + t) * d + o, same direction
+            co = (1e-5 + np.asarray(attrs.t))[:, None] * d + o
+            take = hit & trans_ne1
+            children_o.append(co[take])
+            children_d.append(d[take])
+        if not children_o:
+            break
+        o = np.concatenate(children_o)
+        d = np.concatenate(children_d)
+        if o.shape[0] == 0:
+            break
     return levels
+
+
+def debug_ray_samples(nx, ny, camera: Camera, params, width=800, height=800,
+                      key=None):
+    """The R-key MSAA debug sample set (main.cpp:95-98): the jittered
+    sub-pixel ray fan at normalized cursor pos (nx, ny), using the debug
+    pixel size windowSize * 0.00005 the reference hardcodes there (window
+    default 800x800, main.cpp:55). Returns (o [S,3], d [S,3]) with
+    S = rays_per_pixel_side**2."""
+    from cge_tpu.render.sampling import msaa_sample_positions
+
+    key = jax.random.PRNGKey(7) if key is None else key
+    n = params.rays_per_pixel_side
+    pixel_size = jnp.asarray([width * 0.00005, height * 0.00005], jnp.float32)
+    grid = jnp.asarray([[nx, ny]], jnp.float32)
+    pos = msaa_sample_positions(grid, pixel_size, n, key)
+    return camera.generate_rays(pos.reshape(-1, 2))
+
+
+def debug_dof_rays(nx, ny, camera: Camera, params, key=None):
+    """The R-key DoF debug sample set (main.cpp:99-100): samples_dof
+    disk-jittered origins converging on the focal-plane point of the cursor
+    ray. Returns (o [S,3], d [S,3])."""
+    from cge_tpu.render.sampling import dof_rays
+
+    key = jax.random.PRNGKey(9) if key is None else key
+    grid = jnp.asarray([[nx, ny]], jnp.float32)
+    o, d = dof_rays(grid, camera, params.focus_plane_distance,
+                    params.blur_strength, params.samples_dof, key)
+    return o.reshape(-1, 3), d.reshape(-1, 3)
 
 
 class ShadowRays(NamedTuple):
@@ -138,10 +199,8 @@ def aabb_segments(lo, hi):
     return a.reshape(-1, 3), b.reshape(-1, 3)
 
 
-def project_points(camera: Camera, points, width: int, height: int):
-    """World → pixel projection (the inverse of Trackball::generateRay,
-    trackball.cpp:101-110, including the -x quirk). Returns (px [N,2] float,
-    in_front [N] bool)."""
+def _camera_space(camera: Camera, points):
+    """World → camera-space coords (the inverse of the trackball rotation)."""
     p = np.atleast_2d(np.asarray(points, np.float32))
     q = np.asarray(quat_from_euler(jnp.asarray(camera.rotation, jnp.float32)))
     w, x, y, z = q
@@ -152,7 +211,14 @@ def project_points(camera: Camera, points, width: int, height: int):
         [2 * (x * z + w * y), 2 * (y * z - w * x), 1 - 2 * (x * x + y * y)],
     ], np.float32)
     pos = np.asarray(camera.position())
-    cam = (p - pos) @ R.T
+    return (p - pos) @ R.T
+
+
+def project_points(camera: Camera, points, width: int, height: int):
+    """World → pixel projection (the inverse of Trackball::generateRay,
+    trackball.cpp:101-110, including the -x quirk). Returns (px [N,2] float,
+    in_front [N] bool)."""
+    cam = _camera_space(camera, points)
     zc = cam[:, 2]
     in_front = zc > 1e-6
     zs = np.where(in_front, zc, 1.0)
@@ -166,16 +232,35 @@ def project_points(camera: Camera, points, width: int, height: int):
 
 
 def draw_segments(image, camera: Camera, a, b, color=(0.0, 1.0, 0.0),
-                  samples_per_seg: int = 64):
+                  samples_per_seg: int | None = None):
     """Overlay 3-D line segments onto a rendered image (row 0 = top).
 
     The numpy stand-in for the GL wireframe overlays: each segment is
-    point-sampled and splatted. Returns a copy of the image."""
+    point-sampled and splatted. Sampling defaults to 8x the image diagonal
+    so even a drawRay-style 100-unit miss segment (debug rays clamp t to
+    100, draw.cpp:216) leaves no pixel gaps where it crosses the view.
+    Returns a copy of the image."""
     img = np.array(image, np.float32, copy=True)
     h, w = img.shape[:2]
-    pa, fa = project_points(camera, a, w, h)
-    pb, fb = project_points(camera, b, w, h)
-    ok = fa & fb
+    if samples_per_seg is None:
+        samples_per_seg = 8 * max(w, h)
+    a = np.atleast_2d(np.asarray(a, np.float32))
+    b = np.atleast_2d(np.asarray(b, np.float32))
+    # clip each segment to the camera near plane (z = eps in camera space)
+    # instead of dropping it — debug eye rays START at the camera and miss
+    # rays extend 100 units (often past the frustum)
+    eps = 1e-4
+    a0, b0 = a, b
+    za = _camera_space(camera, a0)[:, 2]
+    zb = _camera_space(camera, b0)[:, 2]
+    ok = np.maximum(za, zb) > eps
+    dz = np.where(zb == za, 1.0, zb - za)
+    ta = np.clip((eps - za) / dz, 0.0, 1.0)
+    tb = np.clip((eps - zb) / -dz, 0.0, 1.0)
+    a = np.where((za < eps)[:, None], a0 + ta[:, None] * (b0 - a0), a0)
+    b = np.where((zb < eps)[:, None], b0 + tb[:, None] * (a0 - b0), b0)
+    pa, _ = project_points(camera, a, w, h)
+    pb, _ = project_points(camera, b, w, h)
     ts = np.linspace(0.0, 1.0, samples_per_seg, dtype=np.float32)
     pts = (pa[ok, None, :] * (1 - ts[None, :, None])
            + pb[ok, None, :] * ts[None, :, None]).reshape(-1, 2)

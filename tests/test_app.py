@@ -85,8 +85,17 @@ def test_light_edit_affects_render(app):
 
 
 def test_debug_ray_overlay(app):
-    app.shoot_debug_ray(0.1, 0.0)
-    assert len(app.debug_levels) >= 1
+    # recursion on so the replay spawns mirror children (the reference's
+    # debug ray recurses only per the active feature set, render.cpp:27-150)
+    app.update_features({"enable_shading": True, "enable_hard_shadow": True,
+                         "enable_recursive": True})
+    # find a pixel whose primary hit is the mirror tall box (ks != 0) so
+    # the replay spawns a mirror child level
+    for nx in (-0.3, -0.2, -0.1, 0.0, 0.1, 0.2, 0.3):
+        app.shoot_debug_ray(nx, -0.1)
+        if len(app.debug_levels) >= 2:
+            break
+    assert len(app.debug_levels) >= 2   # eye ray + mirror child level
     assert app.debug_levels[0].hit.any()
     img = app.frame()             # raster view replays the stored ray
     app.clear_debug_ray()

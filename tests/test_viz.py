@@ -61,3 +61,59 @@ def test_normal_segments():
     assert starts.shape == (3, 3)
     np.testing.assert_allclose(np.linalg.norm(ends - starts, axis=-1), 0.1,
                                rtol=1e-4)
+
+
+def test_debug_trace_transparency_continuation():
+    """The debug replay follows the transparency continuation path
+    (render.cpp:42-43,108-111), not just mirrors: a ray through the
+    translucent cube must spawn a continuation child level."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from cge_tpu import SceneType, load_scene_prebuilt
+    from cge_tpu.camera import Camera
+    from cge_tpu.types import Features, RenderParams
+    from cge_tpu.viz.debug import debug_trace
+
+    scene = load_scene_prebuilt(SceneType.Cube)
+    scene = dataclasses.replace(
+        scene,
+        point_pos=jnp.concatenate([scene.point_pos,
+                                   jnp.array([(-1.0, 1.5, -1.0)],
+                                             jnp.float32)]),
+        point_color=jnp.concatenate([scene.point_color,
+                                     jnp.ones((1, 3), jnp.float32)]),
+        point_mask=jnp.concatenate([scene.point_mask, jnp.ones(1, bool)]))
+    cam = Camera()
+    feats = Features(enable_shading=True, enable_transparency=True)
+    o, d = cam.generate_rays(jnp.asarray([[0.0, 0.2]], jnp.float32))
+    levels = debug_trace(scene, o, d, feats, RenderParams())
+    assert len(levels) >= 2, "no continuation level replayed"
+    assert levels[0].hit.any()
+    # the continuation keeps the parent's direction (render.cpp:42-43)
+    import numpy as np
+    np.testing.assert_allclose(levels[1].dir[0], levels[0].dir[0],
+                               rtol=1e-6)
+
+
+def test_debug_sample_sets():
+    """MSAA / DoF debug ray sets (main.cpp:95-100)."""
+    from cge_tpu.camera import Camera
+    from cge_tpu.types import RenderParams
+    from cge_tpu.viz.debug import debug_dof_rays, debug_ray_samples
+
+    import numpy as np
+
+    cam = Camera()
+    params = RenderParams()
+    o, d = debug_ray_samples(0.1, -0.2, cam, params)
+    assert o.shape == (params.rays_per_pixel_side ** 2, 3)
+    # pinhole: all sample rays share the camera origin, directions jitter
+    assert np.allclose(np.asarray(o), np.asarray(o)[0])
+    assert np.std(np.asarray(d), axis=0).max() > 0
+
+    o, d = debug_dof_rays(0.1, -0.2, cam, params)
+    assert o.shape == (params.samples_dof, 3)
+    # DoF: origins jitter on the aperture disk
+    assert np.std(np.asarray(o), axis=0).max() > 0

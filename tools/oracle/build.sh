@@ -4,7 +4,11 @@ set -e
 cd "$(dirname "$0")"
 REF=/root/reference
 TP=$REF/framework/third_party
-g++ -O2 -std=c++20 \
+# overridable for sanitizer test builds (tests/test_sanitizers.py):
+#   EXTRA_FLAGS="-fsanitize=address,undefined -g" OUT=/tmp/oracle_san build.sh
+EXTRA_FLAGS=${EXTRA_FLAGS:-}
+OUT=${OUT:-oracle}
+g++ -O2 -std=c++20 $EXTRA_FLAGS \
   -I. \
   -I$REF/src \
   -I$REF/framework/include -I$REF/framework/include/framework \
@@ -24,5 +28,5 @@ g++ -O2 -std=c++20 \
   $REF/framework/src/mesh.cpp $REF/framework/src/image.cpp \
   $REF/framework/src/trackball.cpp $TP/tinyobjloader/src/tiny_obj_loader.cc \
   $REF/prebuilt/libIntersect_linux_x64.a \
-  -o oracle
-echo built: $(pwd)/oracle
+  -o "$OUT"
+echo built: "$OUT"

@@ -106,6 +106,13 @@ def make_handler(state: AppState):
                                            body.get("fields", {}))
                     elif op == "select":
                         state.selected_light = int(body["index"])
+                        state.selected_handle = 0
+                    elif op == "select_handle":
+                        state.select_handle(int(body["handle"]))
+                elif route == "/api/gizmo":
+                    state.gizmo_drag(int(body["axis"]),
+                                     float(body.get("dx", 0.0)),
+                                     float(body.get("dy", 0.0)))
                 elif route == "/api/debug_ray":
                     if body.get("clear"):
                         state.clear_debug_ray()

@@ -46,6 +46,7 @@ class AppState:
         self.camera = Camera()
         self.output_dir = output_dir
         self.selected_light: int = -1
+        self.selected_handle: int = 0      # gizmo endpoint/vertex combo
         self.debug_levels: list = []        # stored debug rays (optDebugRay)
         self.debug_pixel: Optional[tuple] = None
         self.bvh_show_level: int = -1       # debugBVHLevel slider
@@ -74,6 +75,7 @@ class AppState:
         base = build_scene_arrays(meshes, spheres, ())
         self.scene = replace_lights(base, self.lights)
         self.selected_light = 0 if self.lights else -1
+        self.selected_handle = 0
         self.debug_levels = []
         self.debug_pixel = None
         self._bvh_cache = {}
@@ -123,19 +125,22 @@ class AppState:
         self.scene = replace_lights(self.scene, self.lights)
 
     def add_light(self, kind: str):
-        """main.cpp:340-352 (defaults as in the reference's Add buttons)."""
+        """The Add buttons with the reference's exact defaults
+        (main.cpp:348-368: segment red->blue 0->(1,1,1), parallelogram
+        red/green/blue/white unit square)."""
         if kind == "point":
             self.lights.append(PointLight((0, 0, 0), (1, 1, 1)))
         elif kind == "segment":
-            self.lights.append(SegmentLight((0, 0, 0), (1, 0, 0),
-                                            (1, 1, 1), (1, 1, 1)))
+            self.lights.append(SegmentLight((0, 0, 0), (1, 1, 1),
+                                            (1, 0, 0), (0, 0, 1)))
         elif kind == "parallelogram":
             self.lights.append(ParallelogramLight(
                 (0, 0, 0), (1, 0, 0), (0, 1, 0),
-                (1, 1, 1), (1, 1, 1), (1, 1, 1), (1, 1, 1)))
+                (1, 0, 0), (0, 1, 0), (0, 0, 1), (1, 1, 1)))
         else:
             raise ValueError(f"unknown light kind: {kind}")
         self.selected_light = len(self.lights) - 1
+        self.selected_handle = 0
         self._sync_lights()
 
     def remove_light(self, index: int):
@@ -144,6 +149,7 @@ class AppState:
             self.lights.pop(index)
             self.selected_light = min(self.selected_light,
                                       len(self.lights) - 1)
+            self.selected_handle = 0
             self._sync_lights()
 
     def update_light(self, index: int, fields: dict):
@@ -155,6 +161,91 @@ class AppState:
                 kw[k] = _L3(v)
         self.lights[index] = dataclasses.replace(light, **kw)
         self._sync_lights()
+
+    # ------------------------------------------------------------------ gizmo
+
+    def _gizmo_handles(self, light):
+        """Draggable translation handles per light kind, mirroring the
+        reference's gizmo target choices (main.cpp:295-325): point ->
+        position; segment -> endpoint 0/1; parallelogram -> v0, v0+edge01,
+        v0+edge02 (edges recomputed from the moved vertex)."""
+        if isinstance(light, PointLight):
+            return [("position", np.asarray(light.position, np.float32))]
+        if isinstance(light, SegmentLight):
+            return [("endpoint0", np.asarray(light.endpoint0, np.float32)),
+                    ("endpoint1", np.asarray(light.endpoint1, np.float32))]
+        v0 = np.asarray(light.v0, np.float32)
+        return [("v0", v0),
+                ("vertex1", v0 + np.asarray(light.edge01, np.float32)),
+                ("vertex2", v0 + np.asarray(light.edge02, np.float32))]
+
+    def _set_gizmo_handle(self, index: int, handle: int, pos: np.ndarray):
+        """Write a moved handle back (parallelogram vertex moves update the
+        edge, main.cpp:330-336; v0 moves translate the whole light the way
+        ImGuizmo's model matrix does for the anchor vertex)."""
+        light = self.lights[index]
+        pos = _L3(pos)
+        if isinstance(light, (PointLight, SegmentLight)):
+            name = self._gizmo_handles(light)[handle][0]
+            self.lights[index] = dataclasses.replace(light, **{name: pos})
+        else:
+            if handle == 0:
+                self.lights[index] = dataclasses.replace(light, v0=pos)
+            elif handle == 1:
+                edge = tuple(np.asarray(pos) - np.asarray(light.v0))
+                self.lights[index] = dataclasses.replace(light,
+                                                         edge01=_L3(edge))
+            else:
+                edge = tuple(np.asarray(pos) - np.asarray(light.v0))
+                self.lights[index] = dataclasses.replace(light,
+                                                         edge02=_L3(edge))
+        self._sync_lights()
+
+    def select_handle(self, handle: int):
+        """The endpoint/vertex combo next to the gizmo (main.cpp:301-330)."""
+        self.selected_handle = int(handle)
+
+    def _gizmo_axes(self):
+        """Screen geometry of the translation gizmo for the selected light:
+        anchor + three world-axis arms, sized to a constant screen fraction
+        like ImGuizmo's SetGizmoSizeClipSpace (imguizmo.cpp:10)."""
+        from cge_tpu.viz.debug import project_points
+
+        if not (0 <= self.selected_light < len(self.lights)):
+            return None
+        light = self.lights[self.selected_light]
+        handles = self._gizmo_handles(light)
+        h = min(self.selected_handle, len(handles) - 1)
+        anchor = handles[h][1]
+        cam_pos = np.asarray(self.camera.position())
+        depth = float(np.linalg.norm(anchor - cam_pos))
+        arm = 0.15 * depth * float(np.asarray(self.camera.half_screen_h))
+        ends = anchor[None, :] + arm * np.eye(3, dtype=np.float32)
+        pts = np.concatenate([anchor[None, :], ends])
+        px, in_front = project_points(self.camera, pts,
+                                      self.width, self.height)
+        return dict(anchor=anchor, arm=arm, ends=ends, px=px,
+                    in_front=in_front, handle=h,
+                    handle_names=[n for n, _ in handles])
+
+    def gizmo_drag(self, axis: int, dx: float, dy: float):
+        """Translate the selected handle along world axis 0/1/2 from a
+        mouse drag of (dx, dy) *pixels*: the drag is projected onto the
+        axis's screen direction — ImGuizmo::Manipulate TRANSLATE semantics
+        for a single arm (imguizmo.cpp:16-18)."""
+        g = self._gizmo_axes()
+        if g is None:
+            return
+        axis = int(axis)
+        sdir = g["px"][1 + axis] - g["px"][0]       # axis arm in pixels
+        n2 = float(sdir @ sdir)
+        if n2 < 1e-12:                               # axis points at camera
+            return
+        s = float(np.array([dx, dy], np.float32) @ sdir) / n2 * g["arm"]
+        delta = np.zeros(3, np.float32)
+        delta[axis] = s
+        self._set_gizmo_handle(self.selected_light, g["handle"],
+                               g["anchor"] + delta)
 
     def light_list(self):
         out = []
@@ -252,6 +343,14 @@ class AppState:
                 a, b = aabb_segments(lo, hi)
                 img = draw_segments(img, self.camera, a, b,
                                     color=(1.0, 1.0, 0.0))
+        # translation gizmo on the selected light (main.cpp:295-325):
+        # RGB = world x/y/z arms, ImGuizmo's axis color convention
+        g = self._gizmo_axes()
+        if g is not None:
+            for axis, color in enumerate(((1.0, 0.2, 0.2), (0.2, 1.0, 0.2),
+                                          (0.3, 0.45, 1.0))):
+                img = draw_segments(img, self.camera, g["anchor"],
+                                    g["ends"][axis], color=color)
         return img
 
     # --------------------------------------------------------- render to file
@@ -272,6 +371,17 @@ class AppState:
         return path, ms
 
     # ------------------------------------------------------------------ state
+
+    def _gizmo_json(self):
+        g = self._gizmo_axes()
+        if g is None:
+            return None
+        return {"anchor_px": [round(float(v), 1) for v in g["px"][0]],
+                "axes_px": [[round(float(v), 1) for v in p]
+                            for p in g["px"][1:]],
+                "in_front": [bool(b) for b in g["in_front"]],
+                "handle": g["handle"],
+                "handle_names": g["handle_names"]}
 
     def state_json(self) -> dict:
         cam = self.camera
@@ -294,6 +404,7 @@ class AppState:
                            [float(np.degrees(r)) for r in cam.rotation]},
             "lights": self.light_list(),
             "selected_light": self.selected_light,
+            "gizmo": self._gizmo_json(),
             "bvh": {"show_level": self.bvh_show_level,
                     "show_leaf": self.bvh_show_leaf,
                     "sah": self.bvh_sah,

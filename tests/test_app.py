@@ -194,3 +194,78 @@ def test_http_bad_requests(server):
     assert st == 400 and "error" in json.loads(data)
     st, _, _ = _req(server, "GET", "/api/nonexistent")
     assert st == 404
+
+
+def test_add_light_reference_defaults(app):
+    """The Add buttons use the reference's exact initial values
+    (main.cpp:348-368)."""
+    n0 = len(app.lights)
+    app.add_light("segment")
+    s = app.light_list()[n0]
+    assert s["endpoint1"] == [1.0, 1.0, 1.0]
+    assert s["color0"] == [1.0, 0.0, 0.0] and s["color1"] == [0.0, 0.0, 1.0]
+    app.add_light("parallelogram")
+    p = app.light_list()[n0 + 1]
+    assert p["color0"] == [1.0, 0.0, 0.0] and p["color3"] == [1.0, 1.0, 1.0]
+    app.remove_light(n0 + 1)
+    app.remove_light(n0)
+
+
+def test_gizmo_point_light_drag(app):
+    """ImGuizmo translation parity (main.cpp:295-297): a drag along a
+    gizmo arm moves the selected point light along that world axis only."""
+    app.selected_light = 0
+    app.selected_handle = 0
+    g = app.state_json()["gizmo"]
+    assert g is not None and g["handle_names"] == ["position"]
+    before = np.array(app.light_list()[0]["position"])
+    # drag along the screen direction of the x arm -> pure +x motion
+    sdir = (np.array(g["axes_px"][0]) - np.array(g["anchor_px"]))
+    app.gizmo_drag(0, float(sdir[0]), float(sdir[1]))
+    after = np.array(app.light_list()[0]["position"])
+    delta = after - before
+    assert delta[0] > 1e-4            # moved toward +x (full arm length)
+    assert abs(delta[1]) < 1e-6 and abs(delta[2]) < 1e-6
+    app.update_light(0, {"position": tuple(before)})
+
+
+def test_gizmo_segment_endpoint_handles(app):
+    """Endpoint combo (main.cpp:301-311): handle 1 moves endpoint1 only."""
+    n0 = len(app.lights)
+    app.add_light("segment")
+    app.select_handle(1)
+    g = app.state_json()["gizmo"]
+    assert g["handle_names"] == ["endpoint0", "endpoint1"]
+    e0 = app.light_list()[n0]["endpoint0"]
+    sdir = (np.array(g["axes_px"][1]) - np.array(g["anchor_px"]))
+    app.gizmo_drag(1, float(sdir[0]), float(sdir[1]))
+    lit = app.light_list()[n0]
+    assert lit["endpoint0"] == e0
+    assert abs(lit["endpoint1"][1] - 1.0) > 1e-4
+    app.remove_light(n0)
+
+
+def test_gizmo_parallelogram_vertex_updates_edge(app):
+    """Vertex drags recompute edges (main.cpp:330-336)."""
+    n0 = len(app.lights)
+    app.add_light("parallelogram")
+    app.select_handle(1)              # vertex1 = v0 + edge01
+    g = app.state_json()["gizmo"]
+    assert g["handle_names"] == ["v0", "vertex1", "vertex2"]
+    v0 = app.light_list()[n0]["v0"]
+    sdir = (np.array(g["axes_px"][2]) - np.array(g["anchor_px"]))
+    app.gizmo_drag(2, float(sdir[0]), float(sdir[1]))
+    lit = app.light_list()[n0]
+    assert lit["v0"] == v0            # anchor vertex unchanged
+    assert abs(lit["edge01"][2]) > 1e-4   # edge01 absorbed the z motion
+    assert lit["edge02"] == [0.0, 1.0, 0.0]
+    app.remove_light(n0)
+
+
+def test_gizmo_overlay_draws(app):
+    app.selected_light = 0
+    with_g = app.frame()
+    app.selected_light = -1
+    without = app.frame()
+    app.selected_light = 0
+    assert (with_g != without).any()

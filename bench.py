@@ -70,7 +70,8 @@ def device_ms(f, *args, n1=5, n2=15, trials=3):
     import numpy as np
 
     def sync(r):
-        np.asarray(r).ravel()[0:1]
+        import jax
+        np.asarray(jax.tree.leaves(r)[0]).ravel()[0:1]
 
     sync(f(0))
     best = float("inf")

@@ -26,15 +26,16 @@ def sync(x):
     return np.asarray(jax.tree.leaves(x)[0]).ravel()[0]
 
 
-def bench(name, f, *args, reps=5):
-    sync(f(*args))
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        r = f(*args)
-    sync(r)
-    dt = (time.perf_counter() - t0) / reps
-    print(f"{name}: {dt*1e3:.1f} ms")
-    return dt
+def bench(name, f, *args, reps=None):
+    """Slope-timed per-call ms (see bench.device_ms): the axon tunnel adds
+    a large variable fixed cost per synchronization that would otherwise
+    dominate these sub-10ms stages. f must take a call index i and vary its
+    inputs with it — identical dispatches can be served from cache and
+    time at ~0."""
+    from bench import device_ms
+    ms = device_ms(f, n1=4, n2=12, trials=3)
+    print(f"{name}: {ms:.2f} ms")
+    return ms / 1e3
 
 
 W = H = 512
@@ -56,13 +57,14 @@ print(f"tris={scene.tris.shape[0]} L={accel.tiles.shape[0]} rays={o.shape[0]}")
 
 kern = jax.jit(lambda o, d, t: pallas_cluster_tris(
     o, d, t, accel.aabbs, accel.tiles, accel.perm))
-bench("closest sweep (262k rays)", kern, o, d, tmax)
+jig = jnp.float32(1e-7)   # per-call input jitter: forces re-execution
+bench("closest sweep (262k rays)", lambda i: kern(o + jig * i, d, tmax))
 kern_so = jax.jit(lambda o, d, t: pallas_cluster_tris(
     o, d, t, accel.aabbs, accel.tiles, accel.perm, shared_origin=True))
-bench("closest sweep shared-origin", kern_so, o, d, tmax)
+bench("closest sweep shared-origin", lambda i: kern_so(o + jig * i, d, tmax))
 kern_ah = jax.jit(lambda o, d, t: pallas_cluster_tris(
     o, d, t, accel.aabbs, accel.tiles, accel.perm, any_hit=True))
-bench("any-hit sweep", kern_ah, o, d, tmax)
+bench("any-hit sweep", lambda i: kern_ah(o + jig * i, d, tmax))
 
 ids_f = jax.jit(lambda o, d, t: closest_hit_chunked(
     scene, o, d, t, accel=accel))
@@ -70,21 +72,22 @@ ids = ids_f(o, d, tmax)
 sync(ids.t)
 
 attr_f = jax.jit(lambda o, d, ids: hit_attributes(scene, o, d, ids, feats))
-bench("hit_attributes", attr_f, o, d, ids)
+bench("hit_attributes", lambda i: attr_f(o + jig * i, d, ids))
 attrs = attr_f(o, d, ids)
 
 key = jax.random.PRNGKey(0)
 light_f = jax.jit(lambda o, d, a: light_contribution(
     scene, o, d, a.t, a.normal, a.kd, a.ks, a.shininess, feats, params, key,
     alive=a.hit, accel=accel))
-bench("light_contribution (shadow sweep + shade)", light_f, o, d, attrs)
+bench("light_contribution (shadow sweep + shade)",
+      lambda i: light_f(o + jig * i, d, attrs))
 
 trace_f = jax.jit(lambda o, d: trace(scene, o, d, feats, params, key,
                                      accel=accel))
-bench("full trace 262k (unchunked)", trace_f, o, d, reps=3)
+bench("full trace 262k (unchunked)", lambda i: trace_f(o + jig * i, d))
 
 rend = jax.jit(lambda s: render_image(scene, cam, feats, params, W, H, s))
-bench("render_image (sync scalar)", rend, 0, reps=3)
+bench("render_image (seed varies)", lambda i: rend(i))
 
 img = render_image(scene, cam, feats, params, W, H, 0)
 sync(img)

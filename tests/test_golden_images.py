@@ -66,6 +66,13 @@ CASES = [
      DEFAULT_CAM),
     ("teapot_accel", SceneType.Teapot, "shading,accel", DEFAULT_CAM),
     ("teapot_sah", SceneType.Teapot, "shading,accel,sah", DEFAULT_CAM),
+    ("custom_tex_nearest", SceneType.Custom, "shading,texture", DEFAULT_CAM),
+    ("custom_tex_bilinear", SceneType.Custom, "shading,texture,bilinear",
+     DEFAULT_CAM),
+    # area lights contribute NOTHING without enable_soft_shadow (quirk #15,
+    # light.cpp:123-157): the parallelogram-light Cornell box goes black
+    ("cornell_pl_quirk", SceneType.CornellBoxParallelogramLight,
+     "shading,hard_shadow", DEFAULT_CAM),
 ]
 
 

@@ -33,4 +33,7 @@ run cube_trans_rec       cube            shading,transparency,recursive
 run teapot_accel         teapot          shading,accel
 run teapot_sah           teapot          shading,accel,sah
 run spheres_shadow       spheres         shading,hard_shadow
+run custom_tex_nearest   custom          shading,texture
+run custom_tex_bilinear  custom          shading,texture,bilinear
+run cornell_pl_quirk     cornell_box_parallelogram_light shading,hard_shadow
 echo "goldens written to $OUT"

@@ -42,6 +42,30 @@ class Features:
     def replace(self, **kw) -> "Features":
         return dataclasses.replace(self, **kw)
 
+    @classmethod
+    def from_nested(cls, base: dict, extra: dict | None = None) -> "Features":
+        """Build from the reference's nested camelCase layout
+        (common.h:54-77): ``base`` maps the seven ``Features`` members,
+        ``extra`` the ``ExtraFeatures`` members (or pass ``base['extra']``)."""
+        import re
+
+        def snake(name: str) -> str:
+            return re.sub(r"(?<!^)(?=[A-Z])", "_", name).lower()
+
+        merged = dict(base)
+        nested = merged.pop("extra", None)
+        if extra is None:
+            extra = nested or {}
+        merged.update(extra)
+        fields = {f.name for f in dataclasses.fields(cls)}
+        kw = {}
+        for k, v in merged.items():
+            s = snake(k)
+            if s not in fields:
+                raise KeyError(f"unknown feature flag: {k!r}")
+            kw[s] = bool(v)
+        return cls(**kw)
+
 
 @dataclasses.dataclass(frozen=True)
 class RenderParams:

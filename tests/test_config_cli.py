@@ -155,3 +155,22 @@ def test_cli_renders_bmp(tmp_path):
     # the two cameras differ -> the images must differ
     a, b = read_bmp(paths[0]), read_bmp(paths[1])
     assert not np.array_equal(a, b)
+
+
+def test_features_from_nested():
+    """from_nested mirrors the reference's nested camelCase Features layout
+    (common.h:54-77)."""
+    from cge_tpu.types import Features
+
+    f = Features.from_nested(
+        {"enableShading": True, "enableAccelStructure": True,
+         "extra": {"enableBvhSahBinning": True, "enableDepthOfField": True}})
+    assert f == Features(enable_shading=True, enable_accel_structure=True,
+                         enable_bvh_sah_binning=True,
+                         enable_depth_of_field=True)
+    f2 = Features.from_nested({"enableNormalInterp": True},
+                              {"enableGlossyReflection": True})
+    assert f2.enable_normal_interp and f2.enable_glossy_reflection
+    import pytest
+    with pytest.raises(KeyError):
+        Features.from_nested({"enableWarpDrive": True})

@@ -212,7 +212,8 @@ def _on_tpu() -> bool:
 def closest_hit(scene, o, d, tmax, tri_tile: int = 512,
                 prims_axis=None, prims_axis_size: int = 1,
                 use_pallas=None, accel: Accel | None = None,
-                shared_origin: bool = False) -> HitIds:
+                shared_origin: bool = False, br: int = 512,
+                exact_keys: bool = True, perm_ids: bool = False) -> HitIds:
     """Closest hit over all primitives of the scene.
 
     Replicates the reference's acceptance + tie rules (see module docstring).
@@ -254,7 +255,9 @@ def closest_hit(scene, o, d, tmax, tri_tile: int = 512,
         from cge_tpu.ops.pallas.cluster_sweep import pallas_cluster_tris
         best_t, best_i = pallas_cluster_tris(o, d, tmax, accel.aabbs,
                                              accel.tiles, accel.perm,
-                                             shared_origin=shared_origin)
+                                             br=br, exact_keys=exact_keys,
+                                             shared_origin=shared_origin,
+                                             perm_ids=perm_ids)
     elif prims_axis is not None:
         T = scene.tris.shape[0]
         assert T % prims_axis_size == 0, "pad tris to a multiple of the axis"
@@ -292,7 +295,9 @@ def closest_hit_chunked(scene, o, d, tmax, ray_chunk: int = 2048,
                         tri_tile: int = 512, prims_axis=None,
                         prims_axis_size: int = 1,
                         accel: Accel | None = None,
-                        shared_origin: bool = False) -> HitIds:
+                        shared_origin: bool = False, br: int = 512,
+                        exact_keys: bool = True,
+                        perm_ids: bool = False) -> HitIds:
     """Memory-bounded closest hit.
 
     On TPU the Pallas sweep kernel bounds VMEM via its own grid, so the
@@ -302,7 +307,9 @@ def closest_hit_chunked(scene, o, d, tmax, ray_chunk: int = 2048,
     if _on_tpu():
         return closest_hit(scene, o, d, tmax, tri_tile,
                            prims_axis, prims_axis_size, use_pallas=True,
-                           accel=accel, shared_origin=shared_origin)
+                           accel=accel, shared_origin=shared_origin,
+                           br=br, exact_keys=exact_keys,
+                           perm_ids=perm_ids and accel is not None)
     R = o.shape[0]
     n_chunks = max(1, -(-R // ray_chunk))
     pad = n_chunks * ray_chunk - R
@@ -321,7 +328,8 @@ def closest_hit_chunked(scene, o, d, tmax, ray_chunk: int = 2048,
     return HitIds(*(x.reshape(-1)[:R] for x in res))
 
 
-def any_hit_occlusion(scene, o, d, tmax, accel: Accel | None = None):
+def any_hit_occlusion(scene, o, d, tmax, accel: Accel | None = None,
+                      br: int = 512, exact_keys: bool = True):
     """Occlusion query: True where *any* primitive blocks the ray within its
     t budget (light.cpp:60-63 when transparency is off — the caller only
     needs existence, not which blocker). On TPU with an accel this runs the
@@ -333,6 +341,7 @@ def any_hit_occlusion(scene, o, d, tmax, accel: Accel | None = None):
         from cge_tpu.ops.pallas.cluster_sweep import pallas_cluster_tris
         tri_hit, _ = pallas_cluster_tris(o, d, tmax, accel.aabbs,
                                          accel.tiles, accel.perm,
+                                         br=br, exact_keys=exact_keys,
                                          any_hit=True)
         ts = intersect_spheres_t(o, d, tmax, scene.sph_center,
                                  scene.sph_radius)

@@ -418,12 +418,12 @@ def _cluster_kernel(order_ref, skey_ref, ray_ref, aabb_ref, tile_ref,
 @functools.partial(jax.jit, static_argnames=("br", "sc_n", "any_hit",
                                              "shared_origin", "interpret",
                                              "with_stats", "refine_members",
-                                             "exact_keys"))
+                                             "exact_keys", "perm_ids"))
 def pallas_cluster_tris(o, d, tmax, aabbs, tiles, perm, br=DEFAULT_BR,
                         sc_n=None, any_hit=False,
                         shared_origin=False, interpret=False,
                         with_stats=False, refine_members=None,
-                        exact_keys=True):
+                        exact_keys=True, perm_ids=False):
     """Cluster-accelerated triangle sweep.
 
     o, d: [R, 3]; tmax: [R] per-ray budget (-1 = dead ray);
@@ -435,6 +435,13 @@ def pallas_cluster_tris(o, d, tmax, aabbs, tiles, perm, br=DEFAULT_BR,
     meaningful t.  with_stats appends a third result: per-ray-block
     supercluster visit counts [NB] i32 (dense work actually executed —
     exact on the resident path, an upper bound with refine_members).
+
+    perm_ids=True returns best_idx in *cluster-permuted* space (the flat
+    [L*C] slot, -1 on miss) instead of scene triangle ids: the 1-D
+    perm-table gather that translates to scene space costs ~100us per
+    launch on TPU (scalar-indexed rows), so hot render paths skip it and
+    gather attributes from tables pre-permuted with the same perm
+    (cge_tpu.render.wavefront.pack_attr_table(tri_ids=...)).
     """
     R = o.shape[0]
     L, C, W = tiles.shape
@@ -487,8 +494,11 @@ def pallas_cluster_tris(o, d, tmax, aabbs, tiles, perm, br=DEFAULT_BR,
         keys = _block_entry_keys(rays, sc_aabbs, interpret)   # [NB, S]
     else:
         keys = _block_frustum_keys(rays, sc_aabbs)            # [NB, S]
-    order = jnp.argsort(keys, axis=-1).astype(jnp.int32)
-    skeys = jnp.take_along_axis(keys, order, axis=-1)
+    # one sort carrying the iota: argsort + take_along_axis would add a
+    # scalar-indexed gather (~30us per sweep on TPU, measured)
+    iota = jnp.broadcast_to(
+        jnp.arange(n_sc, dtype=jnp.int32)[None, :], keys.shape)
+    skeys, order = jax.lax.sort((keys, iota), num_keys=1, dimension=-1)
     order = order[:, None, :]
     skeys = skeys[:, None, :]
 
@@ -541,6 +551,8 @@ def pallas_cluster_tris(o, d, tmax, aabbs, tiles, perm, br=DEFAULT_BR,
     if any_hit:
         hit = flat > 0
         return (hit, hit, visits) if with_stats else (hit, hit)
+    if perm_ids:
+        return (best_t, flat, visits) if with_stats else (best_t, flat)
     scene_ids = jnp.where(flat >= 0, perm.reshape(-1)[jnp.maximum(flat, 0)],
                           -1)
     return (best_t, scene_ids, visits) if with_stats else (best_t, scene_ids)

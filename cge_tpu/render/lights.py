@@ -54,12 +54,15 @@ def shadow_visibility(scene, ray_o, ray_d, ray_t, sample_pos, features,
             and params.prims_axis is None:
         # only existence of a blocker matters (light.cpp:60-63): the any-hit
         # kernel lets a blocked ray prune all remaining clusters
-        blocked = any_hit_occlusion(scene, p, sdir, tmax, accel=accel)
+        blocked = any_hit_occlusion(scene, p, sdir, tmax, accel=accel,
+                                    br=params.sweep_br,
+                                    exact_keys=params.sweep_exact_keys)
         return jnp.where(blocked, 0.0, 1.0)
     res = closest_hit_chunked(scene, p, sdir, tmax,
                               params.ray_tile, params.tri_tile,
                               params.prims_axis, params.prims_axis_size,
-                              accel=accel)
+                              accel=accel, br=params.sweep_br,
+                              exact_keys=params.sweep_exact_keys)
     if features.enable_transparency:
         # the *closest* blocker's transparency (light.cpp:65-68)
         tri_tr = scene.mat_transparency[scene.tri_mat[res.prim]]

@@ -76,16 +76,25 @@ class HitAttrs(NamedTuple):
 _ATTR_W = 40
 
 
-def pack_attr_table(scene):
+def pack_attr_table(scene, tri_ids=None):
     """Build the per-triangle attribute rows [T, 40] (differentiable: the
     gathers here scatter-add gradients back to vertices/normals/uvs/
     materials in reverse mode — built once per trace, reused by every
-    bounce level)."""
+    bounce level).
+
+    tri_ids: optional [K] int32 triangle ids to build the table in a
+    different order (the cluster permutation's flat [L*C] slots, -1 pads
+    allowed) — hot paths then consume the sweep kernel's perm-space hit ids
+    directly, skipping a ~100us/launch scalar id-translation gather."""
     T = scene.tris
     V = scene.vertices
     Nr = scene.normals
     UV = scene.uvs
     mid = scene.tri_mat
+    if tri_ids is not None:
+        safe = jnp.maximum(tri_ids.reshape(-1), 0)
+        T = T[safe]
+        mid = mid[safe]
     cols = [V[T[:, 0]], V[T[:, 1]], V[T[:, 2]],
             Nr[T[:, 0]], Nr[T[:, 1]], Nr[T[:, 2]],
             scene.mat_kd[mid], scene.mat_ks[mid],
@@ -234,6 +243,7 @@ def _intersect_and_shade(scene, o, d, features, params, key,
     the stochastic features (same distribution) and exact-t tie blocks —
     the documented divergence classes."""
     N = o.shape[0]
+    shared_origin = shared_origin and params.sweep_shared_origin
     if alive is None:
         tmax = jnp.full(N, jnp.inf, jnp.float32)
     else:
@@ -249,7 +259,10 @@ def _intersect_and_shade(scene, o, d, features, params, key,
     ids = closest_hit_chunked(scene, o, d, tmax, params.ray_tile,
                               params.tri_tile, params.prims_axis,
                               params.prims_axis_size, accel=accel,
-                              shared_origin=shared_origin)
+                              shared_origin=shared_origin,
+                              br=params.sweep_br,
+                              exact_keys=params.sweep_exact_keys,
+                              perm_ids=_perm_tables(accel, params))
     attrs = hit_attributes(scene, o, d, ids, features, attr_rows=tables)
     local = light_contribution(scene, o, d, attrs.t, attrs.normal, attrs.kd,
                                attrs.ks, attrs.shininess, features, params,
@@ -271,6 +284,13 @@ def _dead_attrs(N):
     attrs = HitAttrs(hit=jnp.zeros(N, bool), t=z, normal=z3, kd=z3, ks=z3,
                      shininess=z, transparency=jnp.ones(N, jnp.float32))
     return attrs, z3
+
+
+def _perm_tables(accel, params) -> bool:
+    """True when the trace consumes cluster-perm-space hit ids (and so its
+    attribute tables must be built with tri_ids=accel.perm): exactly the
+    condition under which closest_hit takes the accel Pallas path."""
+    return accel is not None and _on_tpu() and params.prims_axis is None
 
 
 def scene_accel(scene, features) -> Accel | None:
@@ -649,7 +669,8 @@ def trace(scene, o, d, features, params, key, accel=None,
     """
     if accel is None:
         accel = scene_accel(scene, features)
-    tables = pack_attr_table(scene)
+    tables = pack_attr_table(
+        scene, tri_ids=accel.perm if _perm_tables(accel, params) else None)
     if features.enable_recursive and features.enable_glossy_reflection:
         return trace_glossy(scene, o, d, features, params, key, accel=accel,
                             shared_origin=shared_origin, tables=tables)

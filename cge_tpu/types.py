@@ -98,12 +98,24 @@ class RenderParams:
     # rays per tile for the chunked intersection sweep
     ray_tile: int = 2048
     # rays per compiled trace body: bigger wavefronts are lax.map-chunked at
-    # this size so XLA compile time / VMEM stay resolution-independent
-    # (16k also keeps the whole-level dead-skip granularity fine enough to
-    # matter on mirror-bounce levels — measured best on the teapot bench)
-    trace_chunk: int = 16384
+    # this size so XLA compile time / VMEM stay resolution-independent,
+    # while chunking also keeps the whole-level dead-skip granularity fine
+    # enough to matter on mirror-bounce levels (64k measured best on the
+    # teapot-512 bench in round 3; 256k/unchunked is ~2.5x worse)
+    trace_chunk: int = 65536
     # triangles per tile in the intersection scan
     tri_tile: int = 512
+    # rays per block in the Pallas cluster sweep (one grid program per
+    # block walks its front-to-back cluster order); bigger blocks amortize
+    # the per-visit loop overhead, smaller blocks cull tighter frustums
+    sweep_br: int = 512
+    # per-ray (exact) vs per-block interval-arithmetic (conservative) entry
+    # keys for the sweep's visit order — exact costs O(blocks*boxes*rays)
+    # but typically halves the dense-tile visits
+    sweep_exact_keys: bool = True
+    # let primary-ray sweeps use the single-shared-origin fast path (hoists
+    # the origin dot products out of the dense tiles)
+    sweep_shared_origin: bool = True
     # mesh-axis name/size for primitive-sharded closest hit (the TP analogue;
     # set inside shard_map when the mesh has a 'prims' axis)
     prims_axis: str | None = None

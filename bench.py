@@ -114,7 +114,11 @@ def sweep_stats(scene, cam):
     f = jax.jit(lambda o, d, t: pallas_cluster_tris(
         o, d, t, accel.aabbs, accel.tiles, accel.perm, with_stats=True))
     r = f(o, d, tmax)
-    ms = device_ms(lambda i: f(o, d, tmax)[0], n1=10, n2=30)
+    # jitter the origins per call: identical dispatches can be deduped by
+    # the transport layer, which under-reports time (and over-reports the
+    # roofline fraction — seen at 4.8x "of peak" in round 2)
+    jig = jnp.float32(1e-7)
+    ms = device_ms(lambda i: f(o + jig * i, d, tmax)[0], n1=10, n2=30)
     C = accel.tiles.shape[1]
     pairs = float(np.asarray(r[2], np.float64).sum()) * C * DEFAULT_BR
     return dict(sweep_ms=ms, dense_pairs=pairs,

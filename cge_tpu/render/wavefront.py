@@ -276,16 +276,6 @@ def _intersect_and_shade(scene, o, d, features, params, key,
     return attrs, local
 
 
-def _dead_attrs(N):
-    """Placeholder bounce output for levels with no live ray (every value is
-    masked out by live_hit downstream)."""
-    z = jnp.zeros(N, jnp.float32)
-    z3 = jnp.zeros((N, 3), jnp.float32)
-    attrs = HitAttrs(hit=jnp.zeros(N, bool), t=z, normal=z3, kd=z3, ks=z3,
-                     shininess=z, transparency=jnp.ones(N, jnp.float32))
-    return attrs, z3
-
-
 def _perm_tables(accel, params) -> bool:
     """True when the trace consumes cluster-perm-space hit ids (and so its
     attribute tables must be built with tri_ids=accel.perm): exactly the
@@ -388,22 +378,25 @@ def _scan_chain(scene, o, d, W, acc, features, params, key,
     alive = W != 0.0
 
     def make_body(first: bool):
-        def body(carry, level):
+        def live_level(carry, level):
             o, d, W, acc, alive = carry
             k = jax.random.fold_in(key, level)
-            # whole-level skip: once every ray is dead (e.g. an all-diffuse
-            # scene past bounce 0) the remaining scan levels cost one
-            # predicate. (Bounce rays are NOT re-sorted into coherent
-            # blocks: measured on teapot-512, the per-ray liveness culls in
-            # the sweep already absorb the divergence, and the sort/unsort
-            # gathers cost more than they save — see _ray_sort_perm.)
-            attrs, local = jax.lax.cond(
-                jnp.any(alive),
-                lambda o, d, alive: _intersect_and_shade(
-                    scene, o, d, features, params, k, alive, accel,
-                    tables=tables),
-                lambda o, d, alive: _dead_attrs(o.shape[0]),
-                o, d, alive)
+            # first = the peeled shared-origin level: every ray shares the
+            # pinhole origin, so the sweep kernel hoists the origin dot
+            # products out of its dense tiles. (Bounce rays are NOT
+            # re-sorted into coherent blocks: measured on teapot-512, the
+            # per-ray liveness culls in the sweep already absorb the
+            # divergence, and the sort/unsort gathers cost more than they
+            # save — see _ray_sort_perm.)
+            attrs, local = _intersect_and_shade(
+                scene, o, d, features, params, k, alive, accel,
+                shared_origin=first, tables=tables)
+            # pin t: without this one barrier the child-ray fma
+            # (1e-5 + t) * d + o fuses differently inline vs inside the
+            # chunking lax.map, breaking chunked == unchunked bit-exactness
+            # at ulp level (one [N] array — measured free on TPU)
+            attrs = attrs._replace(
+                t=jax.lax.optimization_barrier(attrs.t))
             live_hit = alive & attrs.hit
             depth_remaining = params.ray_depth - level
             if tail_trans:
@@ -421,7 +414,16 @@ def _scan_chain(scene, o, d, W, acc, features, params, key,
             alive = live_hit & (W != 0.0)
             o = jnp.where(alive[:, None], co, o)
             d = jnp.where(alive[:, None], cd, d)
-            return (o, d, W, acc, alive), None
+            return (o, d, W, acc, alive)
+
+        def body(carry, level):
+            # whole-level skip: once every ray is dead (e.g. an all-diffuse
+            # scene past bounce 0) a remaining scan level costs one
+            # predicate + an identity cond branch — the ENTIRE body
+            # (intersection, shading, child-ray and carry updates) lives
+            # inside the cond so dead levels launch none of it.
+            return jax.lax.cond(jnp.any(carry[4]), live_level,
+                                lambda c, lv: c, carry, level), None
         return body
 
     levels = jnp.arange(start_level, start_level + n_levels)
@@ -499,7 +501,10 @@ def trace_tree_trans_recursive(scene, o, d, features, params, key,
         alive = cw != 0.0
         attrs, local = _intersect_and_shade(scene, co, cd, features, params,
                                             k, alive if level else None,
-                                            accel, tables=tables)
+                                            accel,
+                                            shared_origin=(shared_origin
+                                                           and level == 0),
+                                            tables=tables)
         live_hit = alive & attrs.hit
         t_mat = attrs.transparency
         trans_ne1 = t_mat != 1.0
@@ -586,7 +591,9 @@ def trace_glossy(scene, o, d, features, params, key, accel=None,
     S = params.rays_per_reflection
     k0 = jax.random.fold_in(key, 0)
     attrs, local = _intersect_and_shade(scene, o, d, features, params, k0,
-                                        accel=accel, tables=tables)
+                                        accel=accel,
+                                        shared_origin=shared_origin,
+                                        tables=tables)
     valid_mirror = jnp.any(attrs.ks != 0.0, axis=-1)
     glossy_active = valid_mirror & (attrs.shininess != 0.0)
     mo, md, _ = compute_reflection_ray(o, d, attrs.t, attrs.normal, attrs.ks)
@@ -617,17 +624,13 @@ def trace_glossy(scene, o, d, features, params, key, accel=None,
     fdepth = depth1.reshape(N * S)
     facc = jnp.zeros((N * S, 3), jnp.float32)
 
-    def body(carry, level):
+    def live_body(carry, level):
         o, d, W, depth, acc = carry
         k = jax.random.fold_in(key, 1000 + level)
         live_in = jnp.any(W != 0.0, axis=-1)
-        attrs, local = jax.lax.cond(
-            jnp.any(live_in),
-            lambda o, d, a: _intersect_and_shade(scene, o, d, features,
-                                                 params, k, a, accel,
-                                                 tables=tables),
-            lambda o, d, a: _dead_attrs(o.shape[0]),
-            o, d, live_in)
+        attrs, local = _intersect_and_shade(scene, o, d, features,
+                                            params, k, live_in, accel,
+                                            tables=tables)
         alive = live_in & attrs.hit
         acc = acc + jnp.where(alive[:, None], W * local, 0.0)
         vm = jnp.any(attrs.ks != 0.0, axis=-1)
@@ -647,7 +650,13 @@ def trace_glossy(scene, o, d, features, params, key, accel=None,
                           depth - 1)
         o = jnp.where(spawn[:, None], mo, o)
         d = jnp.where(spawn[:, None], nd, d)
-        return (o, d, W, depth, acc), None
+        return (o, d, W, depth, acc)
+
+    def body(carry, level):
+        # dead-level skip (cf. _scan_chain): the full body lives inside the
+        # cond, so once every sample path dies the rest of the scan is free
+        return jax.lax.cond(jnp.any(carry[2] != 0.0), live_body,
+                            lambda c, lv: c, carry, level), None
 
     (_, _, _, _, facc), _ = jax.lax.scan(
         body, (fo, fd, fW, fdepth, facc),

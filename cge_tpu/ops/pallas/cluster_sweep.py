@@ -55,8 +55,11 @@ from jax.experimental.pallas import tpu as pltpu
 from cge_tpu.ops.bvh import CLUSTER_SIZE
 
 DEFAULT_BR = 512
-# clusters per supercluster: the visit/DMA granularity of the sweep
-SUPERCLUSTER = 8
+# clusters per supercluster: the visit/DMA granularity of the HBM-resident
+# sweep. 4 measured best on the 1M-triangle scale scene (5.6 Mray/s vs 4.1
+# at 8, vs 4.2 at 1): small enough that a visit's dense work stays in the
+# plausible set, big enough to amortize the DMA issue overhead.
+SUPERCLUSTER = 4
 # compact tile stacks up to this size stay VMEM-resident (no per-visit DMA)
 RESIDENT_TILE_BYTES = 4 * 1024 * 1024
 FLT_MAX = 3.4028234663852886e38  # python float: jnp scalars would be captured consts
@@ -447,7 +450,11 @@ def pallas_cluster_tris(o, d, tmax, aabbs, tiles, perm, br=DEFAULT_BR,
     L, C, W = tiles.shape
     resident = W == 16
     if refine_members is None:
-        refine_members = not resident
+        # per-member re-culling loses on BOTH layouts (1M-tri scale scene:
+        # 5.6 Mray/s off vs 4.9 on at sc_n=4): the extra per-cluster slab
+        # reductions and branches cost more than the dense tiles they skip,
+        # because the supercluster key already culled the easy misses
+        refine_members = False
     if sc_n is None:
         # resident stacks visit per cluster (finest ordering, no wasted
         # dense tiles); HBM stacks amortize the DMA over SUPERCLUSTER tiles

@@ -15,8 +15,9 @@ recursion + OpenMP scanlines (render.cpp:277-280).
 
 The only non-chain shapes are:
   - transparency + recursion both enabled (two distinct children per
-    bounce: the mirror and the straight-through continuation) — handled by
-    a statically unrolled binary tree;
+    bounce: the mirror and the straight-through continuation) — folded
+    into the ray batch axis, one level per dispatch (see
+    trace_tree_trans_recursive);
   - glossy reflections (a cone of stochastic children, render.cpp:56-99) —
     handled by sampled fan-out.
 

@@ -101,7 +101,7 @@ def sweep_stats(scene, cam):
 
     from cge_tpu.camera import pixel_grid
     from cge_tpu.ops.intersect import build_accel
-    from cge_tpu.ops.pallas.cluster_sweep import (DEFAULT_BR,
+    from cge_tpu.ops.pallas.cluster_sweep import (DEFAULT_BR, SUPERCLUSTER,
                                                   pallas_cluster_tris)
     from cge_tpu.render.renderer import _tile_swizzle
     from cge_tpu.utils.profiling import sweep_roofline
@@ -113,14 +113,20 @@ def sweep_stats(scene, cam):
     accel = jax.jit(build_accel)(scene)
     f = jax.jit(lambda o, d, t: pallas_cluster_tris(
         o, d, t, accel.aabbs, accel.tiles, accel.perm, with_stats=True))
-    r = f(o, d, tmax)
     # jitter the origins per call: identical dispatches can be deduped by
     # the transport layer, which under-reports time (and over-reports the
-    # roofline fraction — seen at 4.8x "of peak" in round 2)
+    # roofline fraction — seen at 4.8x "of peak" in round 2). 1e-7 * i stays
+    # a <=3e-6 relative perturbation over the timing loop's i <= 130 range.
+    # Visit stats come from a representative jittered call so the counted
+    # work matches the timed dispatches (ADVICE r3).
     jig = jnp.float32(1e-7)
+    r = f(o + jig, d, tmax)
     ms = device_ms(lambda i: f(o + jig * i, d, tmax)[0], n1=10, n2=30)
     C = accel.tiles.shape[1]
-    pairs = float(np.asarray(r[2], np.float64).sum()) * C * DEFAULT_BR
+    # each counted visit executes sc_n dense [C, BR] tiles: 1 on the
+    # VMEM-resident layout, SUPERCLUSTER on the HBM/DMA layout (ADVICE r3)
+    sc_n = 1 if accel.tiles.shape[2] == 16 else SUPERCLUSTER
+    pairs = float(np.asarray(r[2], np.float64).sum()) * sc_n * C * DEFAULT_BR
     return dict(sweep_ms=ms, dense_pairs=pairs,
                 **sweep_roofline(pairs, 1, ms / 1e3))
 

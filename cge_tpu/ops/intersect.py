@@ -209,6 +209,15 @@ def _on_tpu() -> bool:
         return False
 
 
+def uses_cluster_sweep(accel, prims_axis) -> bool:
+    """Single source of truth for "closest_hit takes the cluster-sweep
+    Pallas path" — and therefore for which id-space its hit ids live in
+    (perm-space when the caller asks for perm_ids). wavefront._perm_tables
+    keys its attribute-table layout off this same predicate, so the two can
+    never drift (a drift would silently shade with wrong attributes)."""
+    return accel is not None and _on_tpu() and prims_axis is None
+
+
 def closest_hit(scene, o, d, tmax, tri_tile: int = 512,
                 prims_axis=None, prims_axis_size: int = 1,
                 use_pallas=None, accel: Accel | None = None,
@@ -252,6 +261,8 @@ def closest_hit(scene, o, d, tmax, tri_tile: int = 512,
                                    tri_tile, idx_offset=idx_offset)
 
     if accel is not None and use_pallas and prims_axis is None:
+        # == uses_cluster_sweep(accel, prims_axis) whenever use_pallas was
+        # defaulted (the only way render paths call this)
         from cge_tpu.ops.pallas.cluster_sweep import pallas_cluster_tris
         best_t, best_i = pallas_cluster_tris(o, d, tmax, accel.aabbs,
                                              accel.tiles, accel.perm,
@@ -347,7 +358,8 @@ def any_hit_occlusion(scene, o, d, tmax, accel: Accel | None = None,
                                  scene.sph_radius)
         ts = jnp.where(scene.sph_mask[None, :], ts, jnp.inf)
         return tri_hit | jnp.isfinite(jnp.min(ts, axis=1))
-    return closest_hit_chunked(scene, o, d, tmax, accel=accel).hit
+    return closest_hit_chunked(scene, o, d, tmax, accel=accel,
+                               br=br, exact_keys=exact_keys).hit
 
 
 @functools.partial(jax.jit, static_argnames=())

@@ -38,7 +38,8 @@ import jax
 import jax.numpy as jnp
 
 from cge_tpu.ops.intersect import (Accel, HitIds, _on_tpu, build_accel,
-                                   closest_hit_chunked, triangle_plane)
+                                   closest_hit_chunked, triangle_plane,
+                                   uses_cluster_sweep)
 from cge_tpu.ops.interpolate import (barycentric_coord, interpolate_normal,
                                      interpolate_texcoord)
 from cge_tpu.ops.shading import compute_reflection_ray
@@ -280,8 +281,10 @@ def _intersect_and_shade(scene, o, d, features, params, key,
 def _perm_tables(accel, params) -> bool:
     """True when the trace consumes cluster-perm-space hit ids (and so its
     attribute tables must be built with tri_ids=accel.perm): exactly the
-    condition under which closest_hit takes the accel Pallas path."""
-    return accel is not None and _on_tpu() and params.prims_axis is None
+    condition under which closest_hit takes the accel Pallas path —
+    delegated to intersect.uses_cluster_sweep so the two predicates can
+    never drift (ADVICE r3)."""
+    return uses_cluster_sweep(accel, params.prims_axis)
 
 
 def scene_accel(scene, features) -> Accel | None:

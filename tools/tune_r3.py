@@ -49,7 +49,11 @@ for cs in (32, 64, 128):
             r = f(o, d, tmax)
             t_out = np.asarray(r[0])
             visits = int(np.asarray(r[2], np.int64).sum())
-            pairs = visits * C * br
+            # each visit runs sc_n dense tiles: 1 on the VMEM-resident
+            # layout, SUPERCLUSTER on the HBM/DMA layout (ADVICE r3)
+            from cge_tpu.ops.pallas.cluster_sweep import SUPERCLUSTER
+            sc_n = 1 if tiles.shape[2] == 16 else SUPERCLUSTER
+            pairs = visits * sc_n * C * br
             if ref_t is None:
                 ref_t = t_out
             ok = np.allclose(np.where(np.isfinite(t_out), t_out, -1),

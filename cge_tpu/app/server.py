@@ -120,8 +120,12 @@ def make_handler(state: AppState):
                         state.shoot_debug_ray(float(body["x"]),
                                               float(body["y"]))
                 elif route == "/api/bvh":
-                    state.set_bvh_debug(body.get("level"), body.get("leaf"),
-                                        body.get("sah"))
+                    state.set_bvh_debug(
+                        body.get("level"), body.get("leaf"),
+                        body.get("sah"), body.get("traversal"),
+                        body.get("recursion_level"), body.get("sah_splits"),
+                        body.get("sah_split_level"),
+                        body.get("sah_split_axis"))
                 elif route == "/api/render_file":
                     path, ms = state.render_to_file(
                         int(body.get("width", 800)),

@@ -52,6 +52,11 @@ class AppState:
         self.bvh_show_level: int = -1       # debugBVHLevel slider
         self.bvh_show_leaf: int = -1        # debugBVHLeaf slider
         self.bvh_sah: bool = False
+        self.bvh_traversal: bool = False    # debugBVHTraversal checkbox
+        self.bvh_recursion_level: int = 0   # bvhRecursionLevel slider
+        self.sah_splits: bool = False       # drawSAHSplits checkbox
+        self.sah_split_level: int = 0       # sahDebugLevel slider
+        self.sah_split_axis: int = 0        # sahDebugAxis slider
         self._bvh_cache = {}
         self.set_scene(scene)
 
@@ -290,16 +295,39 @@ class AppState:
                 self.scene, sah_binning=self.bvh_sah)
         return self._bvh_cache[key]
 
+    def _sah_bvh(self):
+        """SAH build with recorded candidate cut planes (debugDrawSAHSplits
+        needs sahCutsPerLevel, which only an SAH build fills)."""
+        if "sah_cuts" not in self._bvh_cache:
+            self._bvh_cache["sah_cuts"] = build_reference_bvh(
+                self.scene, sah_binning=True, record_sah_cuts=True)
+        return self._bvh_cache["sah_cuts"]
+
     def set_bvh_debug(self, level: Optional[int] = None,
                       leaf: Optional[int] = None,
-                      sah: Optional[bool] = None):
-        """The BVH debug sliders (main.cpp:438-463)."""
+                      sah: Optional[bool] = None,
+                      traversal: Optional[bool] = None,
+                      recursion_level: Optional[int] = None,
+                      sah_splits: Optional[bool] = None,
+                      sah_split_level: Optional[int] = None,
+                      sah_split_axis: Optional[int] = None):
+        """The BVH debug sliders (main.cpp:438-463, 250-265)."""
         if level is not None:
             self.bvh_show_level = int(level)
         if leaf is not None:
             self.bvh_show_leaf = int(leaf)
         if sah is not None:
             self.bvh_sah = bool(sah)
+        if traversal is not None:
+            self.bvh_traversal = bool(traversal)
+        if recursion_level is not None:
+            self.bvh_recursion_level = int(recursion_level)
+        if sah_splits is not None:
+            self.sah_splits = bool(sah_splits)
+        if sah_split_level is not None:
+            self.sah_split_level = int(sah_split_level)
+        if sah_split_axis is not None:
+            self.sah_split_axis = int(sah_split_axis) % 3
 
     # ------------------------------------------------------------------ frame
 
@@ -312,6 +340,11 @@ class AppState:
                                           self.features, self.params,
                                           self.width, self.height))
             img = np.nan_to_num(img)
+            # the interactive raytrace view stamps screen pixel (0, 0) white
+            # after each trace (main.cpp:468); setPixel's y-flip
+            # (screen.cpp:45) puts screen (0, 0) at the image's bottom-left
+            img = img.copy()
+            img[-1, 0] = 1.0
         else:
             img = np.asarray(render_preview(self.scene, self.camera,
                                             self.width, self.height))
@@ -343,6 +376,54 @@ class AppState:
                 a, b = aabb_segments(lo, hi)
                 img = draw_segments(img, self.camera, a, b,
                                     color=(1.0, 1.0, 0.0))
+        # traversal-visited nodes of the stored debug rays
+        # (bounding_volume_hierarchy.cpp:338-360, enabled via
+        # debugBVHTraversal + setDebugRecursionLevel, main.cpp:458-460).
+        # The reference gates every draw on m_recursionLevel(=0, never
+        # updated) == RECURSION_LEVEL(slider), so its slider only draws at
+        # 0 — mirrored here; slider > 0 additionally filters the visited
+        # set by node depth (a documented extension that makes the slider
+        # meaningful).
+        if self.bvh_traversal and self.debug_levels \
+                and self.features.enable_accel_structure:
+            from cge_tpu.viz.debug import traversal_debug
+            bvh = self._bvh()
+            lvl = self.bvh_recursion_level
+            for rays in self.debug_levels:
+                for i in range(rays.origin.shape[0]):
+                    td = traversal_debug(bvh, self.scene, rays.origin[i],
+                                         rays.dir[i])
+                    vsel = (slice(None) if lvl == 0
+                            else td.visited_depth == lvl)
+                    dsel = (slice(None) if lvl == 0
+                            else td.dead_depth == lvl)
+                    if td.visited_lo[vsel].shape[0]:
+                        a, b = aabb_segments(td.visited_lo[vsel],
+                                             td.visited_hi[vsel])
+                        img = draw_segments(img, self.camera, a, b,
+                                            color=(0.9, 0.9, 0.9))
+                    if td.dead_lo[dsel].shape[0]:
+                        a, b = aabb_segments(td.dead_lo[dsel],
+                                             td.dead_hi[dsel])
+                        img = draw_segments(img, self.camera, a, b,
+                                            color=(0.9, 0.0, 0.0))
+                    if td.tri is not None and lvl == 0:
+                        # debugDrawTriangle on the winning primitive
+                        # (cpp:376-378)
+                        tri = td.tri
+                        img = draw_segments(
+                            img, self.camera, tri,
+                            tri[[1, 2, 0]], color=(0.2, 1.0, 0.2))
+        # SAH candidate split planes (debugDrawSAHSplits, cpp:230-237):
+        # chosen plane green, the rest red
+        if self.sah_splits:
+            lo, hi, chosen = self._sah_bvh().debug_sah_splits(
+                self.sah_split_level, self.sah_split_axis)
+            for sel, color in ((~chosen, (1.0, 0.0, 0.0)),
+                               (chosen, (0.0, 1.0, 0.0))):
+                if np.count_nonzero(sel):
+                    a, b = aabb_segments(lo[sel], hi[sel])
+                    img = draw_segments(img, self.camera, a, b, color=color)
         # translation gizmo on the selected light (main.cpp:295-325):
         # RGB = world x/y/z arms, ImGuizmo's axis color convention
         g = self._gizmo_axes()
@@ -408,6 +489,11 @@ class AppState:
             "bvh": {"show_level": self.bvh_show_level,
                     "show_leaf": self.bvh_show_leaf,
                     "sah": self.bvh_sah,
+                    "traversal": self.bvh_traversal,
+                    "recursion_level": self.bvh_recursion_level,
+                    "sah_splits": self.sah_splits,
+                    "sah_split_level": self.sah_split_level,
+                    "sah_split_axis": self.sah_split_axis,
                     "num_levels": self._bvh().num_levels,
                     "num_leaves": self._bvh().num_leaves},
             "debug_pixel": self.debug_pixel,

@@ -77,6 +77,18 @@ def _surface_area(lo, hi):
 # ---------------------------------------------------------------------------
 
 @dataclasses.dataclass
+class SAHCuts:
+    """Candidate SAH split planes of one internal node (the reference's
+    SAHCuts, bounding_volume_hierarchy.h:25-29): per axis, each candidate
+    plane as a degenerate AABB (the parent box flattened at the cut
+    coordinate, getSplitPlane cpp:91-96), plus which (axis, index) won."""
+
+    cuts: list                # 3 lists of (lo [3], hi [3]) plane AABBs
+    chosen_dim: int
+    chosen_ind: int
+
+
+@dataclasses.dataclass
 class ReferenceBVH:
     """Linearized reference-rule BVH.
 
@@ -93,6 +105,10 @@ class ReferenceBVH:
     num_levels: int
     num_leaves: int
     max_per_leaf: int
+    # per-depth SAHCuts lists (sahCutsPerLevel, h:91) — only populated by
+    # SAH builds with record_sah_cuts=True (a debug re-build; the hot native
+    # builder doesn't record them)
+    sah_cuts_per_level: list | None = None
 
     def debug_level_boxes(self, level: int):
         """AABBs of all nodes at a given depth (debugDrawLevel,
@@ -114,11 +130,37 @@ class ReferenceBVH:
                             self.perm_is_sphere[beg:end])
         return None
 
+    def debug_sah_splits(self, level: int, axis: int):
+        """Candidate SAH split planes of every node at `level` along `axis`
+        (debugDrawSAHSplits, cpp:230-237): every recorded cut of that axis
+        as a flattened plane AABB, the globally chosen one flagged (drawn
+        green there, red otherwise). Returns (lo [K,3], hi [K,3],
+        chosen [K] bool); requires a build with record_sah_cuts=True."""
+        if self.sah_cuts_per_level is None:
+            raise ValueError("build with sah_binning=True, "
+                             "record_sah_cuts=True to record split planes")
+        los, his, chosen = [], [], []
+        if 0 <= level < len(self.sah_cuts_per_level):
+            for sc in self.sah_cuts_per_level[level]:
+                for i, (lo, hi) in enumerate(sc.cuts[axis]):
+                    los.append(lo)
+                    his.append(hi)
+                    chosen.append(sc.chosen_dim == axis
+                                  and sc.chosen_ind == i)
+        if not los:
+            z = np.zeros((0, 3), np.float32)
+            return z, z, np.zeros(0, bool)
+        return (np.asarray(los, np.float32), np.asarray(his, np.float32),
+                np.asarray(chosen, bool))
+
 
 def build_reference_bvh(scene, sah_binning: bool = False,
-                        use_native: bool = True) -> ReferenceBVH:
+                        use_native: bool = True,
+                        record_sah_cuts: bool = False) -> ReferenceBVH:
     lo, hi, center, is_sphere, prim_idx = _primitive_soup(scene)
     P = len(center)
+    if record_sah_cuts:
+        use_native = False      # debug re-build; the native lib won't record
 
     if use_native:
         from cge_tpu import native as cge_native
@@ -148,10 +190,17 @@ def build_reference_bvh(scene, sah_binning: bool = False,
         order[beg:end] = sel[part]
         return mid
 
+    sah_cuts_per_level: list = [] if record_sah_cuts else None
+
     def split_sah(beg, end, depth):
         skip = max(1, (end - beg) // NUM_OF_BINS)
         best_cost = np.inf
         best_split, best_axis = None, None
+        if record_sah_cuts:
+            while len(sah_cuts_per_level) <= depth:    # cpp:133-135
+                sah_cuts_per_level.append([])
+            rec = SAHCuts(cuts=[[], [], []], chosen_dim=0, chosen_ind=0)
+            plo, phi = bbox(beg, end)                  # parentBox (cpp:102)
         for axis in range(3):
             sel = order[beg:end]
             srt = sel[np.argsort(center[sel, axis], kind="stable")]
@@ -165,11 +214,24 @@ def build_reference_bvh(scene, sah_binning: bool = False,
             suf_hi = np.maximum.accumulate(chi[::-1], axis=0)[::-1]
             for split in range(beg + skip, end, skip):
                 k = split - beg
+                if record_sah_cuts:
+                    # getSplitPlane (cpp:91-96): the parent box flattened at
+                    # the midpoint of the two adjacent sorted centers
+                    cut = 0.5 * (center[srt[k], axis]
+                                 + center[srt[k - 1], axis])
+                    cl, ch = plo.copy(), phi.copy()
+                    cl[axis] = ch[axis] = cut
+                    rec.cuts[axis].append((cl, ch))
                 cost = (_surface_area(pre_lo[k - 1], pre_hi[k - 1]) * k
                         + _surface_area(suf_lo[k], suf_hi[k])
                         * (end - split))
                 if cost < best_cost:
                     best_cost, best_split, best_axis = cost, split, axis
+                    if record_sah_cuts:
+                        rec.chosen_dim = axis
+                        rec.chosen_ind = len(rec.cuts[axis]) - 1
+        if record_sah_cuts:
+            sah_cuts_per_level[depth].append(rec)      # cpp:124
         sel = order[beg:end]
         srt = sel[np.argsort(center[sel, best_axis], kind="stable")]
         order[beg:end] = srt
@@ -209,6 +271,7 @@ def build_reference_bvh(scene, sah_binning: bool = False,
         num_levels=stats["levels"],
         num_leaves=stats["leaves"],
         max_per_leaf=stats["max_leaf"],
+        sah_cuts_per_level=sah_cuts_per_level,
     )
 
 

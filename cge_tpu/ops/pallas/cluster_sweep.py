@@ -283,18 +283,19 @@ def _cluster_kernel(order_ref, skey_ref, ray_ref, aabb_ref, tile_ref,
                     best_t_ref, best_i_ref, buf_ref, sem_ref, *,
                     c, sc_n, n_sc, any_hit, shared_origin, resident,
                     refine_members):
-    best_t_ref[:] = jnp.full_like(best_t_ref, jnp.inf)
-    best_i_ref[:] = jnp.full_like(best_i_ref, -1)
-
     rays = ray_ref[0]                                 # [8, BR]
     o_x, o_y, o_z = rays[0:1], rays[1:2], rays[2:3]   # [1, BR]
     d_x, d_y, d_z = rays[3:4], rays[4:5], rays[5:6]
     tm = rays[6:7]
     live = tm >= 0
+    BR = rays.shape[1]
 
-    def dense(cl, m, slot, base):
+    def dense(cl, m, slot, base, prev_t, prev_i):
         """One [C, BR] intersection tile against cluster `cl`'s constants
-        (VMEM-resident stack, or DMA buffer slot when the stack is HBM)."""
+        (VMEM-resident stack, or DMA buffer slot when the stack is HBM).
+        best-so-far flows through the visit loop's CARRY — no ref
+        round-trips per tile (measured ~15% kernel time in r3: every tile
+        broadcast-wrote two (8, BR) blocks and re-read them)."""
         if resident:
             tri = tile_ref[pl.ds(cl, 1), :, :][0]     # [C, 16]
         else:
@@ -321,8 +322,6 @@ def _cluster_kernel(order_ref, skey_ref, ray_ref, aabb_ref, tile_ref,
 
         inside = edge_ok(0) & edge_ok(1) & edge_ok(2)
         ok = (t >= 0) & (t <= tm) & inside
-        prev_t = best_t_ref[0, 0:1, :]
-        prev_i = best_i_ref[0, 0:1, :]
         if any_hit:
             hit = jnp.any(ok, axis=0, keepdims=True)          # [1, BR]
             new_t = jnp.where(hit, _DONE, prev_t)
@@ -337,8 +336,7 @@ def _cluster_kernel(order_ref, skey_ref, ray_ref, aabb_ref, tile_ref,
             take = (tmin <= prev_t) & jnp.isfinite(tmin)
             new_t = jnp.where(take, tmin, prev_t)
             new_i = jnp.where(take, idx, prev_i)
-        best_t_ref[0] = jnp.broadcast_to(new_t, best_t_ref.shape[1:])
-        best_i_ref[0] = jnp.broadcast_to(new_i, best_i_ref.shape[1:])
+        return new_t, new_i
 
     def member_entry(cl):
         """Refined per-ray slab entry for ONE cluster: [1, BR]."""
@@ -362,18 +360,17 @@ def _cluster_kernel(order_ref, skey_ref, ray_ref, aabb_ref, tile_ref,
             sem_ref.at[slot])
 
     def cond(carry):
-        step, stop = carry
+        step, stop = carry[0], carry[1]
         return jnp.logical_and(step < n_sc, jnp.logical_not(stop))
 
     def visit(carry):
-        step, _ = carry
+        step, _, bt, bi = carry
         sc = order_ref[0, 0, step]
         slot = jax.lax.rem(step, 2)
         if not resident:
             # invariant: this visit's DMA was started by the previous
             # iteration (or the warm-up), so only a wait remains here
             get_dma(slot, step).wait()
-        prev_t = best_t_ref[0, 0:1, :]
         for m in range(sc_n):
             cl = sc * sc_n + m
             if refine_members:
@@ -382,15 +379,15 @@ def _cluster_kernel(order_ref, skey_ref, ray_ref, aabb_ref, tile_ref,
                 # (big scenes); for small resident stacks the extra
                 # reductions/branches cost more than the skipped tiles
                 entry = member_entry(cl)
-
-                @pl.when(jnp.any(entry <= prev_t))
-                def _(m=m, cl=cl):
-                    dense(cl, m, slot, cl * c)
+                bt, bi = jax.lax.cond(
+                    jnp.any(entry <= bt),
+                    lambda bt=bt, bi=bi, m=m, cl=cl: dense(
+                        cl, m, slot, cl * c, bt, bi),
+                    lambda bt=bt, bi=bi: (bt, bi))
             else:
-                dense(cl, m, slot, cl * c)
+                bt, bi = dense(cl, m, slot, cl * c, bt, bi)
         step = step + 1
-        new_t = best_t_ref[0, 0:1, :]
-        need = jnp.max(jnp.where(live, jnp.minimum(new_t, tm), -jnp.inf))
+        need = jnp.max(jnp.where(live, jnp.minimum(bt, tm), -jnp.inf))
         stop = jnp.logical_or(
             step >= n_sc,
             past(skey_ref[0, 0, jnp.minimum(step, n_sc - 1)], need))
@@ -401,7 +398,7 @@ def _cluster_kernel(order_ref, skey_ref, ray_ref, aabb_ref, tile_ref,
             def _():
                 get_dma(jax.lax.rem(step, 2),
                         jnp.minimum(step, n_sc - 1)).start()
-        return step, stop
+        return step, stop, bt, bi
 
     # first-key guard: an all-dead / no-overlap block does zero visits
     need0 = jnp.max(jnp.where(live, tm, -jnp.inf))
@@ -410,7 +407,12 @@ def _cluster_kernel(order_ref, skey_ref, ray_ref, aabb_ref, tile_ref,
         @pl.when(jnp.logical_not(stop0))
         def _():
             get_dma(0, 0).start()
-    steps, _ = jax.lax.while_loop(cond, visit, (jnp.int32(0), stop0))
+    steps, _, bt, bi = jax.lax.while_loop(
+        cond, visit, (jnp.int32(0), stop0,
+                      jnp.full((1, BR), jnp.inf, jnp.float32),
+                      jnp.full((1, BR), -1, jnp.int32)))
+    best_t_ref[0] = jnp.broadcast_to(bt, best_t_ref.shape[1:])
+    best_i_ref[0] = jnp.broadcast_to(bi, best_i_ref.shape[1:])
     # stash the block's visit count in (unused) row 1 of the index output:
     # exact dense-tile work for the resident path (refine_members off), an
     # upper bound for the HBM path — the roofline accounting in bench.py

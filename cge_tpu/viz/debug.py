@@ -165,6 +165,133 @@ def debug_shadow_rays(scene, ray_o, ray_d, ray_t, sample_pos, sample_color,
                       color=color)
 
 
+class TraversalDebug(NamedTuple):
+    """Visited-node export of one debug ray's accel traversal (the
+    debugBVHTraversal overlay, bounding_volume_hierarchy.cpp:338-360):
+      - visited: children whose AABB passed the (ray.t = FLT_MAX) box test
+        as the stack walk reached their parent — drawn gray wireframe there;
+      - dead: internal nodes where BOTH children missed — drawn red there;
+      - tri: the winning primitive's triangle corners (debugDrawTriangle at
+        cpp:376-378), or None on miss / sphere hit.
+    Depth arrays let a UI filter by recursion level (the reference gates all
+    draws on m_recursionLevel == RECURSION_LEVEL, where m_recursionLevel is
+    initialized to 0 and never updated during traversal (cpp:176, 339) — so
+    its level slider only ever draws at 0; see AppState for how the app
+    mirrors that quirk and extends it)."""
+
+    visited_lo: np.ndarray   # [K, 3]
+    visited_hi: np.ndarray   # [K, 3]
+    visited_depth: np.ndarray  # [K] i32 (depth of the drawn child node)
+    dead_lo: np.ndarray      # [M, 3]
+    dead_hi: np.ndarray      # [M, 3]
+    dead_depth: np.ndarray   # [M] i32
+    tri: np.ndarray | None   # [3, 3] or None
+
+
+def _aabb_hit_host(o, d, lo, hi):
+    """intersectRayWithShape(AABB) at ray.t == FLT_MAX (the traversal's
+    child test, cpp:334-352) — host-side scalar mirror of
+    cge_tpu.ops.bvh_traverse._aabb_hit_tmax_inf."""
+    FLT_MAX = np.float32(3.4028234663852886e38)
+    FLT_MIN = np.float32(1.1754943508222875e-38)
+    zero = d == 0
+    safe_d = np.where(zero, 1.0, d)
+    t_l = np.where(zero, FLT_MIN, (lo - o) / safe_d)
+    t_u = np.where(zero, FLT_MAX, (hi - o) / safe_d)
+    tnear = np.minimum(t_l, t_u).max()
+    tfar = np.maximum(t_l, t_u).min()
+    if tnear < 0:
+        ok, t = tfar > 0, tfar
+    else:
+        ok, t = tnear <= tfar, tnear
+    return bool(ok and t >= 0)
+
+
+def traversal_debug(bvh, scene, o, d) -> TraversalDebug:
+    """Replay the reference's stack traversal (cpp:312-362) for ONE debug
+    ray, recording exactly what the GL debugger would draw. Host-side and
+    eager — this is a debug tool, one ray at a time, like the original."""
+    o = np.asarray(o, np.float32).reshape(3)
+    d = np.asarray(d, np.float32).reshape(3)
+    meta = bvh.node_meta
+    vis, dead = [], []
+    best_t = np.float32(np.inf)
+    best_perm = -1
+    verts = np.asarray(scene.vertices)
+    tris = np.asarray(scene.tris)
+    stack = [bvh.root]
+    while stack:
+        node = stack.pop()
+        if meta[node, 0]:                            # leaf (cpp:319-327)
+            for p in range(meta[node, 2], meta[node, 3]):
+                if bvh.perm_is_sphere[p]:
+                    c = np.asarray(scene.sph_center)[bvh.perm_index[p]]
+                    r = float(np.asarray(
+                        scene.sph_radius)[bvh.perm_index[p]])
+                    oc = o - c
+                    b = 2.0 * float(d @ oc)
+                    cc = float(oc @ oc) - r * r
+                    disc = b * b - 4.0 * cc
+                    if disc < 0:
+                        continue
+                    sq = np.sqrt(disc)
+                    t0, t1 = (-b - sq) / 2.0, (-b + sq) / 2.0
+                    t = t0 if t0 >= 0 else t1
+                    if t >= 0 and t < best_t:        # strict (sphere rule)
+                        best_t, best_perm = np.float32(t), p
+                else:
+                    v0, v1, v2 = verts[tris[bvh.perm_index[p]]]
+                    n = np.cross(v1 - v0, v2 - v0)
+                    nn = np.linalg.norm(n)
+                    if nn == 0:
+                        continue
+                    n = n / nn
+                    denom = float(n @ d)
+                    t = (float(n @ v0) - float(n @ o)) / denom \
+                        if denom != 0 else np.inf
+                    if not np.isfinite(t) or t < 0 or t > best_t:
+                        continue
+                    pt = o + t * d
+                    if (np.dot(np.cross(v1 - v0, pt - v0), n) >= 0
+                            and np.dot(np.cross(v2 - v1, pt - v1), n) >= 0
+                            and np.dot(np.cross(v0 - v2, pt - v2), n) >= 0):
+                        best_t, best_perm = np.float32(t), p  # last-wins <=
+            continue
+        left, right = int(meta[node, 4]), int(meta[node, 5])
+        lhit = _aabb_hit_host(o, d, bvh.node_lo[left], bvh.node_hi[left])
+        rhit = _aabb_hit_host(o, d, bvh.node_lo[right], bvh.node_hi[right])
+        if lhit:                                     # gray draw (cpp:338-342)
+            vis.append((bvh.node_lo[left], bvh.node_hi[left],
+                        meta[left, 1]))
+        if rhit:                                     # gray draw (cpp:346-350)
+            vis.append((bvh.node_lo[right], bvh.node_hi[right],
+                        meta[right, 1]))
+        if lhit:
+            stack.append(left)                       # left then right push:
+        if rhit:
+            stack.append(right)                      # right pops first
+        if not lhit and not rhit:                    # red parent (cpp:355-359)
+            dead.append((bvh.node_lo[node], bvh.node_hi[node],
+                         meta[node, 1]))
+
+    tri = None
+    if best_perm >= 0 and not bvh.perm_is_sphere[best_perm]:
+        tri = verts[tris[bvh.perm_index[best_perm]]].astype(np.float32)
+
+    def pack(items):
+        if not items:
+            z = np.zeros((0, 3), np.float32)
+            return z, z, np.zeros(0, np.int32)
+        return (np.asarray([i[0] for i in items], np.float32),
+                np.asarray([i[1] for i in items], np.float32),
+                np.asarray([i[2] for i in items], np.int32))
+
+    vlo, vhi, vd = pack(vis)
+    dlo, dhi, dd = pack(dead)
+    return TraversalDebug(visited_lo=vlo, visited_hi=vhi, visited_depth=vd,
+                          dead_lo=dlo, dead_hi=dhi, dead_depth=dd, tri=tri)
+
+
 def normal_segments(scene, tri_idx, length=0.2):
     """Per-vertex normal rays of a triangle (the normal-interpolation
     debugger, bounding_volume_hierarchy.cpp:388-392). Returns (starts [3,3],

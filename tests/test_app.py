@@ -269,3 +269,53 @@ def test_gizmo_overlay_draws(app):
     without = app.frame()
     app.selected_light = 0
     assert (with_g != without).any()
+
+
+def test_raytrace_white_stamp(app):
+    """The interactive raytrace view stamps screen pixel (0,0) white after
+    each trace (main.cpp:468) — bottom-left of the image under setPixel's
+    y-flip (screen.cpp:45). Quirk ledger §2.5 #9."""
+    app.set_view(mode="raytrace")
+    img = app.frame()
+    assert (img[-1, 0] == 255).all()
+    app.set_view(mode="raster")
+    img = app.frame()  # raster view has no stamp
+    assert not (img[-1, 0] == 255).all()
+
+
+def test_traversal_overlay(app):
+    """debugBVHTraversal flow (main.cpp:458-460): shoot a debug ray, enable
+    the traversal overlay, and the raster frame changes (gray visited-node
+    wireframes). Slider > 0 filters to that depth (extension of the
+    reference's vestigial level gate)."""
+    app.set_view(mode="raster")
+    app.update_features({"enable_accel_structure": True})
+    app.clear_debug_ray()
+    app.set_bvh_debug(traversal=False)
+    base = app.frame().astype(int)
+    app.shoot_debug_ray(0.0, 0.0)
+    with_ray = app.frame().astype(int)
+    app.set_bvh_debug(traversal=True, recursion_level=0)
+    with_trav = app.frame().astype(int)
+    assert np.abs(with_trav - with_ray).sum() > 0
+    s = app.state_json()
+    assert s["bvh"]["traversal"] is True
+    app.set_bvh_debug(traversal=True, recursion_level=2)
+    lvl2 = app.frame().astype(int)
+    assert np.abs(lvl2 - base).sum() > 0
+    app.set_bvh_debug(traversal=False)
+    app.clear_debug_ray()
+
+
+def test_sah_splits_overlay(app):
+    """drawSAHSplits flow (main.cpp:255-258, 449-451): enabling the overlay
+    draws candidate split planes into the raster view."""
+    app.set_view(mode="raster")
+    app.set_bvh_debug(sah_splits=False)
+    base = app.frame().astype(int)
+    app.set_bvh_debug(sah_splits=True, sah_split_level=0, sah_split_axis=0)
+    overlay = app.frame().astype(int)
+    assert np.abs(overlay - base).sum() > 0
+    s = app.state_json()
+    assert s["bvh"]["sah_splits"] is True and s["bvh"]["sah_split_axis"] == 0
+    app.set_bvh_debug(sah_splits=False)

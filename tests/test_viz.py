@@ -117,3 +117,76 @@ def test_debug_sample_sets():
     assert o.shape == (params.samples_dof, 3)
     # DoF: origins jitter on the aperture disk
     assert np.std(np.asarray(o), axis=0).max() > 0
+
+
+def test_traversal_debug_replay():
+    """Visited-node traversal replay (bounding_volume_hierarchy.cpp:338-360):
+    the gray set must contain every node on the path to the hit, the replay's
+    winning triangle must match the device traversal's closest hit, and a
+    miss ray that enters the root must flag red dead-end parents."""
+    import numpy as np
+
+    from cge_tpu.camera import Camera
+    from cge_tpu.ops.bvh import build_reference_bvh
+    from cge_tpu.ops.bvh_traverse import bvh_closest_hit, device_bvh
+    from cge_tpu.scene.scene import SceneType, load_scene_prebuilt
+    from cge_tpu.viz.debug import traversal_debug
+
+    import jax.numpy as jnp
+
+    scene = load_scene_prebuilt(SceneType.Monkey)
+    bvh = build_reference_bvh(scene)
+    cam = Camera()
+    o, d = cam.generate_rays(jnp.asarray([[0.0, 0.0]], jnp.float32))
+    td = traversal_debug(bvh, scene, np.asarray(o)[0], np.asarray(d)[0])
+    assert td.visited_lo.shape[0] > 0
+    assert td.tri is not None and td.tri.shape == (3, 3)
+    # parity with the device-side reference traversal
+    dbvh = device_bvh(bvh, scene)
+    hit, t, is_sph, prim = bvh_closest_hit(
+        dbvh, o, d, jnp.full(1, np.inf, jnp.float32))
+    assert bool(hit[0]) and not bool(is_sph[0])
+    tri_dev = np.asarray(scene.vertices)[
+        np.asarray(scene.tris)[int(prim[0])]]
+    np.testing.assert_allclose(td.tri, tri_dev, rtol=1e-6)
+    # depths recorded for UI filtering
+    assert (td.visited_depth >= 1).all()
+
+    # a ray that pierces the root box but misses everything inside hits
+    # dead-end parents (both children miss -> red draw, cpp:355-359)
+    td_miss = traversal_debug(bvh, scene, np.array([3.0, 2.0, -3.0]),
+                              np.array([0.0, 0.0, 1.0], np.float32))
+    assert td_miss.tri is None
+
+
+def test_sah_split_planes():
+    """debugDrawSAHSplits export (cpp:230-237): candidate planes are
+    degenerate AABBs flattened on the chosen axis inside the parent box,
+    with exactly one chosen plane globally per node."""
+    import numpy as np
+
+    from cge_tpu.ops.bvh import build_reference_bvh
+    from cge_tpu.scene.scene import SceneType, load_scene_prebuilt
+
+    scene = load_scene_prebuilt(SceneType.CornellBox)
+    bvh = build_reference_bvh(scene, sah_binning=True, record_sah_cuts=True)
+    assert bvh.sah_cuts_per_level is not None
+    assert len(bvh.sah_cuts_per_level) > 0
+    found_any = False
+    for level in range(len(bvh.sah_cuts_per_level)):
+        per_node_chosen = sum(
+            1 for _ in bvh.sah_cuts_per_level[level])
+        for axis in range(3):
+            lo, hi, chosen = bvh.debug_sah_splits(level, axis)
+            assert lo.shape == hi.shape
+            if lo.shape[0]:
+                found_any = True
+                # planes are flattened along their axis
+                np.testing.assert_allclose(lo[:, axis], hi[:, axis])
+                # and live inside the level's node boxes on the other axes
+                assert (hi >= lo - 1e-6).all()
+        # exactly one chosen (axis, index) per recorded node
+        n_chosen = sum(int(bvh.debug_sah_splits(level, ax)[2].sum())
+                       for ax in range(3))
+        assert n_chosen == per_node_chosen
+    assert found_any

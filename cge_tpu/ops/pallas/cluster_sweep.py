@@ -282,13 +282,75 @@ def _block_entry_keys(rays, aabbs, interpret=False, box_chunk=1024):
 def _cluster_kernel(order_ref, skey_ref, ray_ref, aabb_ref, tile_ref,
                     best_t_ref, best_i_ref, buf_ref, sem_ref, *,
                     c, sc_n, n_sc, any_hit, shared_origin, resident,
-                    refine_members):
+                    refine_members, mxu=False):
     rays = ray_ref[0]                                 # [8, BR]
     o_x, o_y, o_z = rays[0:1], rays[1:2], rays[2:3]   # [1, BR]
     d_x, d_y, d_z = rays[3:4], rays[4:5], rays[5:6]
     tm = rays[6:7]
     live = tm >= 0
     BR = rays.shape[1]
+
+    if mxu:
+        # ray-side matrix for the MXU contraction, built ONCE per block:
+        # columns 0:BR are o_ext = (ox, oy, oz, -1, 0...), columns BR:2BR
+        # are d_ext = (dx, dy, dz, 0, 0...). One dot with the [4C, 8]
+        # quantity-major tile then yields all eight per-pair dot products.
+        zero = jnp.zeros((1, BR), jnp.float32)
+        o_ext = jnp.concatenate(
+            [o_x, o_y, o_z, jnp.full((1, BR), -1.0, jnp.float32),
+             zero, zero, zero, zero], axis=0)          # [8, BR]
+        d_ext = jnp.concatenate(
+            [d_x, d_y, d_z, zero, zero, zero, zero, zero], axis=0)
+        ray_ext = jnp.concatenate([o_ext, d_ext], axis=1)   # [8, 2BR]
+
+    def _accept(t, inside, base, prev_t, prev_i):
+        """Shared accept/selection tail of a dense tile (both layouts)."""
+        ok = (t >= 0) & (t <= tm) & inside
+        if any_hit:
+            hit = jnp.any(ok, axis=0, keepdims=True)          # [1, BR]
+            new_t = jnp.where(hit, _DONE, prev_t)
+            new_i = jnp.where(hit, 1, prev_i)
+        else:
+            t = jnp.where(ok, t, jnp.inf)
+            tmin = jnp.min(t, axis=0, keepdims=True)          # [1, BR]
+            flat = base.astype(jnp.float32) + jax.lax.broadcasted_iota(
+                jnp.int32, (c, 1), 0).astype(jnp.float32)
+            idx = jnp.max(jnp.where(t == tmin, flat, -1.0),
+                          axis=0, keepdims=True).astype(jnp.int32)
+            take = (tmin <= prev_t) & jnp.isfinite(tmin)
+            new_t = jnp.where(take, tmin, prev_t)
+            new_i = jnp.where(take, idx, prev_i)
+        return new_t, new_i
+
+    def dense_mxu(cl, base, prev_t, prev_i):
+        """MXU variant of the dense tile (resident stack only): the eight
+        per-(tri, ray) dot products are one [4C, 8] x [8, 2BR] contraction
+        (rows grouped quantity-major: n, m0, m1, m2), leaving the VPU only
+        the divide, three edge FMAs and the accept/min logic. Invalid pad
+        rows are all-zero with b = 1, so Eo = -1, dn = dm = 0 and
+        t = -0/0 = NaN -> every accept test fails, as in the VPU tile.
+
+        MEASURED (r4, tools/tune_mxu.py, teapot-512 swizzled rays, v5e):
+        full parity (hit/id match 1.0, max t err 1.1e-5) but 1.7x SLOWER
+        than the VPU tile with exact keys (5.86 vs 3.46 ms) and 2.4x with
+        frustum keys. The contraction depth K=8 runs the MXU at 6% depth
+        utilization, and f32 ray t's need Precision.HIGHEST (multi-pass);
+        the VPU's 8-dot formulation is dense f32 at full lane occupancy.
+        VPU-bound IS the right operating point at C=128/BR=512 — kept as
+        an opt-in flag so the experiment stays reproducible."""
+        A = tile_ref[pl.ds(cl, 1), :, :][0]           # [4C, 8]
+        out = jnp.dot(A, ray_ext, precision=jax.lax.Precision.HIGHEST,
+                      preferred_element_type=jnp.float32)   # [4C, 2BR]
+        onD = out[0:c, 0:BR]                          # o.n - D
+        dn = out[0:c, BR:]
+        t = -onD / dn
+        inside = None
+        for k in range(3):
+            eo = out[(k + 1) * c:(k + 2) * c, 0:BR]   # o.m_k - b_k
+            dm = out[(k + 1) * c:(k + 2) * c, BR:]
+            e_ok = eo + t * dm >= 0
+            inside = e_ok if inside is None else (inside & e_ok)
+        return _accept(t, inside, base, prev_t, prev_i)
 
     def dense(cl, m, slot, base, prev_t, prev_i):
         """One [C, BR] intersection tile against cluster `cl`'s constants
@@ -321,22 +383,7 @@ def _cluster_kernel(order_ref, skey_ref, ray_ref, aabb_ref, tile_ref,
             return (om - b) + t * dm >= 0
 
         inside = edge_ok(0) & edge_ok(1) & edge_ok(2)
-        ok = (t >= 0) & (t <= tm) & inside
-        if any_hit:
-            hit = jnp.any(ok, axis=0, keepdims=True)          # [1, BR]
-            new_t = jnp.where(hit, _DONE, prev_t)
-            new_i = jnp.where(hit, 1, prev_i)
-        else:
-            t = jnp.where(ok, t, jnp.inf)
-            tmin = jnp.min(t, axis=0, keepdims=True)          # [1, BR]
-            flat = base.astype(jnp.float32) + jax.lax.broadcasted_iota(
-                jnp.int32, (c, 1), 0).astype(jnp.float32)
-            idx = jnp.max(jnp.where(t == tmin, flat, -1.0),
-                          axis=0, keepdims=True).astype(jnp.int32)
-            take = (tmin <= prev_t) & jnp.isfinite(tmin)
-            new_t = jnp.where(take, tmin, prev_t)
-            new_i = jnp.where(take, idx, prev_i)
-        return new_t, new_i
+        return _accept(t, inside, base, prev_t, prev_i)
 
     def member_entry(cl):
         """Refined per-ray slab entry for ONE cluster: [1, BR]."""
@@ -373,7 +420,9 @@ def _cluster_kernel(order_ref, skey_ref, ray_ref, aabb_ref, tile_ref,
             get_dma(slot, step).wait()
         for m in range(sc_n):
             cl = sc * sc_n + m
-            if refine_members:
+            if mxu:
+                bt, bi = dense_mxu(cl, cl * c, bt, bi)
+            elif refine_members:
                 # per-cluster re-cull against the current best before the
                 # dense tile — pays off when member tiles are often skipped
                 # (big scenes); for small resident stacks the extra
@@ -423,12 +472,13 @@ def _cluster_kernel(order_ref, skey_ref, ray_ref, aabb_ref, tile_ref,
 @functools.partial(jax.jit, static_argnames=("br", "sc_n", "any_hit",
                                              "shared_origin", "interpret",
                                              "with_stats", "refine_members",
-                                             "exact_keys", "perm_ids"))
+                                             "exact_keys", "perm_ids",
+                                             "mxu"))
 def pallas_cluster_tris(o, d, tmax, aabbs, tiles, perm, br=DEFAULT_BR,
                         sc_n=None, any_hit=False,
                         shared_origin=False, interpret=False,
                         with_stats=False, refine_members=None,
-                        exact_keys=True, perm_ids=False):
+                        exact_keys=True, perm_ids=False, mxu=None):
     """Cluster-accelerated triangle sweep.
 
     o, d: [R, 3]; tmax: [R] per-ray budget (-1 = dead ray);
@@ -451,6 +501,9 @@ def pallas_cluster_tris(o, d, tmax, aabbs, tiles, perm, br=DEFAULT_BR,
     R = o.shape[0]
     L, C, W = tiles.shape
     resident = W == 16
+    if mxu is None:
+        mxu = False       # pending measurement; see tools/tune_mxu.py
+    mxu = mxu and resident and not interpret
     if refine_members is None:
         # per-member re-culling loses on BOTH layouts (1M-tri scale scene:
         # 5.6 Mray/s off vs 4.9 on at sc_n=4): the extra per-cluster slab
@@ -511,14 +564,25 @@ def pallas_cluster_tris(o, d, tmax, aabbs, tiles, perm, br=DEFAULT_BR,
     order = order[:, None, :]
     skeys = skeys[:, None, :]
 
-    tile_spec = (pl.BlockSpec((Lp, C, 16), lambda i: (0, 0, 0),
-                              memory_space=pltpu.VMEM)
-                 if resident else pl.BlockSpec(memory_space=pl.ANY))
+    if mxu:
+        # quantity-major MXU layout [Lp, 4C, 8]: rows [0:C] = (n | D),
+        # [C:2C] = (m0 | b0), ..., K zero-padded from 4 to the 8-lane tile
+        tiles = jnp.pad(
+            tiles.reshape(Lp, C, 4, 4).transpose(0, 2, 1, 3)
+            .reshape(Lp, 4 * C, 4), ((0, 0), (0, 0), (0, 4)))
+        tile_spec = pl.BlockSpec((Lp, 4 * C, 8), lambda i: (0, 0, 0),
+                                 memory_space=pltpu.VMEM)
+    elif resident:
+        tile_spec = pl.BlockSpec((Lp, C, 16), lambda i: (0, 0, 0),
+                                 memory_space=pltpu.VMEM)
+    else:
+        tile_spec = pl.BlockSpec(memory_space=pl.ANY)
 
     best_t, best_i = pl.pallas_call(
         functools.partial(_cluster_kernel, c=C, sc_n=sc_n, n_sc=n_sc,
                           any_hit=any_hit, shared_origin=shared_origin,
-                          resident=resident, refine_members=refine_members),
+                          resident=resident, refine_members=refine_members,
+                          mxu=mxu),
         grid=(n_ray_blocks,),
         in_specs=[
             pl.BlockSpec((1, 1, n_sc), lambda i: (i, 0, 0),
@@ -546,9 +610,15 @@ def pallas_cluster_tris(o, d, tmax, aabbs, tiles, perm, br=DEFAULT_BR,
                        jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
+        # expected work, not worst case: the ordered early stop leaves each
+        # block ~2-4 dense visits on real scenes (bench.py visit counters),
+        # and per visited pair the VPU tile runs ~55 flops (8 dots + accept
+        # logic) while the MXU tile runs a 128-flop contraction + ~13 VPU
+        # flops. Far below the n_sc * C worst case a naive bound would give.
         cost_estimate=pl.CostEstimate(
-            flops=55 * Rp * min(L, 64) * C // 8,
-            bytes_accessed=(Rp * 8 + L * C * 16 + L * 8) * 4,
+            flops=(n_ray_blocks * min(n_sc, 4) * sc_n * C * br
+                   * (141 if mxu else 55)),
+            bytes_accessed=(Rp * 8 + Lp * C * 16 + Lp * 8) * 4,
             transcendentals=0),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=32 * 1024 * 1024),

@@ -381,44 +381,57 @@ def _scan_chain(scene, o, d, W, acc, features, params, key,
         return acc
     alive = W != 0.0
 
+    def level_core(o, d, W, alive, k, depth_remaining, shared_origin_lvl):
+        """One level's per-ray work: intersect, shade, affine coefficients,
+        child ray. A pure map over the ray axis (no cross-ray interaction),
+        so callers may run it over any sub-batch of the wavefront.
+        Returns (contrib, o', d', W', alive')."""
+        attrs, local = _intersect_and_shade(
+            scene, o, d, features, params, k, alive, accel,
+            shared_origin=shared_origin_lvl, tables=tables)
+        # pin t: without this one barrier the child-ray fma
+        # (1e-5 + t) * d + o fuses differently inline vs inside the
+        # chunking lax.map, breaking chunked == unchunked bit-exactness
+        # at ulp level (one [N] array — measured free on TPU)
+        attrs = attrs._replace(
+            t=jax.lax.optimization_barrier(attrs.t))
+        live_hit = alive & attrs.hit
+        if tail_trans:
+            trans_ne1 = attrs.transparency != 1.0
+            A = jnp.where(trans_ne1, 1.0 - attrs.transparency, 1.0)
+            B = jnp.where(trans_ne1, attrs.transparency, 0.0)
+            co = (1e-5 + attrs.t)[:, None] * d + o
+            cd = d
+        else:
+            A, B = _chain_coefficients(attrs, depth_remaining, features)
+            co, cd = _child_ray(o, d, attrs, features)
+        contrib = jnp.where(live_hit[:, None], (W * A)[:, None] * local, 0.0)
+        W = jnp.where(live_hit, W * B, 0.0)
+        alive = live_hit & (W != 0.0)
+        o = jnp.where(alive[:, None], co, o)
+        d = jnp.where(alive[:, None], cd, d)
+        return contrib, o, d, W, alive
+
+    # NOTE on compaction (measured, round 4): two wavefront-compaction
+    # variants for the bounce levels were built and benchmarked on
+    # teapot-512 — (a) alive-first morton sort + sub-chunked level bodies
+    # (argsort + state gathers: 52 ms vs 15.4 baseline) and (b) unsorted
+    # bounce_chunk sub-chunks with lax.cond dead-skip (19-23 ms). Both LOSE:
+    # TPU sorts/gathers at 65k rays and per-sub-chunk launch overheads dwarf
+    # the dense work they save, and the sweep kernel's own per-block
+    # liveness culls already absorb most of the dead-ray cost. The level
+    # body therefore stays dense over the wavefront.
     def make_body(first: bool):
         def live_level(carry, level):
             o, d, W, acc, alive = carry
             k = jax.random.fold_in(key, level)
-            # first = the peeled shared-origin level: every ray shares the
-            # pinhole origin, so the sweep kernel hoists the origin dot
-            # products out of its dense tiles. (Bounce rays are NOT
-            # re-sorted into coherent blocks: measured on teapot-512, the
-            # per-ray liveness culls in the sweep already absorb the
-            # divergence, and the sort/unsort gathers cost more than they
-            # save — see _ray_sort_perm.)
-            attrs, local = _intersect_and_shade(
-                scene, o, d, features, params, k, alive, accel,
-                shared_origin=first, tables=tables)
-            # pin t: without this one barrier the child-ray fma
-            # (1e-5 + t) * d + o fuses differently inline vs inside the
-            # chunking lax.map, breaking chunked == unchunked bit-exactness
-            # at ulp level (one [N] array — measured free on TPU)
-            attrs = attrs._replace(
-                t=jax.lax.optimization_barrier(attrs.t))
-            live_hit = alive & attrs.hit
             depth_remaining = params.ray_depth - level
-            if tail_trans:
-                trans_ne1 = attrs.transparency != 1.0
-                A = jnp.where(trans_ne1, 1.0 - attrs.transparency, 1.0)
-                B = jnp.where(trans_ne1, attrs.transparency, 0.0)
-                co = (1e-5 + attrs.t)[:, None] * d + o
-                cd = d
-            else:
-                A, B = _chain_coefficients(attrs, depth_remaining, features)
-                co, cd = _child_ray(o, d, attrs, features)
-            acc = acc + jnp.where(live_hit[:, None],
-                                  (W * A)[:, None] * local, 0.0)
-            W = jnp.where(live_hit, W * B, 0.0)
-            alive = live_hit & (W != 0.0)
-            o = jnp.where(alive[:, None], co, o)
-            d = jnp.where(alive[:, None], cd, d)
-            return (o, d, W, acc, alive)
+            # first = the peeled shared-origin level: every ray shares
+            # the pinhole origin (the sweep kernel hoists the origin
+            # dot products out of its dense tiles) and every ray is alive.
+            contrib, o, d, W, alive = level_core(
+                o, d, W, alive, k, depth_remaining, first)
+            return (o, d, W, acc + contrib, alive)
 
         def body(carry, level):
             # whole-level skip: once every ray is dead (e.g. an all-diffuse

@@ -129,6 +129,10 @@ HIRES_CASES = [
     ("cube_trans_rec_512", SceneType.Cube,
      "shading,transparency,recursive", False),
     ("teapot_accel_512", SceneType.Teapot, "shading,accel", True),
+    # the exact feature set bench.py times (the headline workload): primary
+    # sweep + per-light shadow any-hit + 6 chain levels through the accel
+    ("teapot_bench_512", SceneType.Teapot,
+     "shading,hard_shadow,recursive,normal_interp,accel", True),
 ]
 
 

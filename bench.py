@@ -1,11 +1,22 @@
 #!/usr/bin/env python
-"""Headline benchmark: teapot 512x512, Phong + hard shadows + recursive
-mirrors + interpolated normals + acceleration structure — the reference's
-heaviest shipped deterministic workload (15,704 triangles).
+"""Multi-workload benchmark (VERDICT r3 item 3).
+
+Headline: teapot 512x512, Phong + hard shadows + recursive mirrors +
+interpolated normals + acceleration structure — the reference's heaviest
+shipped deterministic workload (15,704 triangles). Two more workloads ride
+in the same JSON line:
+  - scale512: the deterministic 614k-triangle dragon stand-in
+    (tools/make_large_asset.py; the reference's dragon.obj is not shipped,
+    src/scene.cpp:70-73) with the same feature set — drives the
+    HBM-resident supercluster DMA traversal;
+  - soft512: Cornell parallelogram light, shading + soft shadows — the
+    5x5-stratified-sample stochastic path (light.cpp:139-157), 26 traced
+    rays per pixel.
 
 Prints ONE JSON line:
   {"metric": "teapot512_rays_per_s", "value": <rays/s>, "unit": "rays/s",
-   "vs_baseline": <speedup over the C++ reference on this host>}
+   "vs_baseline": <speedup over the C++ reference on this host>,
+   ..., "scale_mrays_per_s": ..., "soft_mrays_per_s": ...}
 
 Baseline side: the real reference renderer (src/render.cpp + prebuilt
 intersection lib) compiled Release-style (-O2 -DNDEBUG -fopenmp, OpenMP
@@ -37,7 +48,8 @@ REPS = 3
 LAST_MEASURED_REF_MS = 309.6
 
 
-def reference_ms() -> float:
+def reference_ms(scene=SCENE, features=FEATURES, fallback=LAST_MEASURED_REF_MS,
+                 reps=REPS, extra=()) -> float:
     if not os.path.exists(BENCH_BIN):
         build = os.path.join(ORACLE_DIR, "build_bench.sh")
         if os.path.exists(build):
@@ -45,19 +57,19 @@ def reference_ms() -> float:
                 subprocess.run(["bash", build], check=True, timeout=300,
                                capture_output=True)
             except Exception:
-                return LAST_MEASURED_REF_MS
+                return fallback
     if not os.path.exists(BENCH_BIN):
-        return LAST_MEASURED_REF_MS
+        return fallback
     try:
         out = subprocess.run(
-            [BENCH_BIN, SCENE, str(W), str(H), FEATURES, str(REPS)],
+            [BENCH_BIN, scene, str(W), str(H), features, str(reps), *extra],
             capture_output=True, text=True, timeout=1200, check=True).stdout
         for line in out.splitlines():
             if line.startswith("BEST_MS"):
                 return float(line.split()[1])
     except Exception:
         pass
-    return LAST_MEASURED_REF_MS
+    return fallback
 
 
 def device_ms(f, *args, n1=5, n2=15, trials=3):
@@ -131,6 +143,60 @@ def sweep_stats(scene, cam):
                 **sweep_roofline(pairs, 1, ms / 1e3))
 
 
+DRAGON_OBJ = "/tmp/cge_dragon_bench.obj"
+# fallbacks = last measured on the round-4 driver host (2-core OpenMP)
+LAST_SCALE_REF_MS = 1876.0
+LAST_SOFT_REF_MS = 1796.0
+
+
+def scale_workload(Features, RenderParams, Camera, render_image_u8):
+    """Dragon-512 full frame through the HBM supercluster path."""
+    import numpy as np
+
+    if not os.path.exists(DRAGON_OBJ):
+        from tools.make_large_asset import write_obj
+        write_obj(DRAGON_OBJ)
+    from cge_tpu.scene.scene import PointLight, load_scene_from_file
+    scene = load_scene_from_file(
+        DRAGON_OBJ,
+        [PointLight(position=(-1.0, 1.0, -1.0), color=(1.0, 1.0, 1.0))])
+    feats = Features(enable_shading=True, enable_hard_shadow=True,
+                     enable_recursive=True, enable_normal_interp=True,
+                     enable_accel_structure=True)
+    params = RenderParams()
+    cam = Camera()
+    np.asarray(render_image_u8(scene, cam, feats, params, W, H))
+    ms = device_ms(
+        lambda s: render_image_u8(scene, cam, feats, params, W, H, s))
+    ref = reference_ms(DRAGON_OBJ, FEATURES, LAST_SCALE_REF_MS, reps=2,
+                      extra=("pointlight:-1,1,-1",))
+    rays = W * H * 2              # primary + one point-light shadow ray
+    return dict(scale_u8_ms=round(ms, 2), scale_ref_ms=round(ref, 2),
+                scale_mrays_per_s=round(rays / ms / 1e3, 3),
+                scale_vs_ref=round(ref / ms, 3))
+
+
+def soft_workload(Features, RenderParams, Camera, render_image_u8,
+                  load_scene_prebuilt, SceneType):
+    """Cornell parallelogram light, 5x5 stratified soft shadows."""
+    import numpy as np
+
+    scene = load_scene_prebuilt(SceneType.CornellBoxParallelogramLight)
+    feats = Features(enable_shading=True, enable_soft_shadow=True)
+    params = RenderParams()
+    cam = Camera()
+    np.asarray(render_image_u8(scene, cam, feats, params, W, H))
+    ms = device_ms(
+        lambda s: render_image_u8(scene, cam, feats, params, W, H, s))
+    ref = reference_ms("cornell_box_parallelogram_light",
+                       "shading,soft_shadow", LAST_SOFT_REF_MS, reps=2)
+    # per pixel: 1 primary + 5x5 parallelogram shadow samples
+    rays = W * H * (1 + RenderParams().parallelogram_light_direction_samples ** 2)
+    return dict(soft_u8_ms=round(ms, 2), soft_ref_ms=round(ref, 2),
+                soft_mrays_per_s=round(rays / ms / 1e3, 3),
+                soft_vs_ref=round(ref / ms, 3))
+
+
 def main():
     sys.path.insert(0, REPO)
     import jax
@@ -175,7 +241,7 @@ def main():
     n_point_lights = 1  # teapot scene: one point light (scene.cpp:66)
     rays = W * H * (1 + n_point_lights)
     rays_per_s = rays / (best_ms / 1e3)
-    print(json.dumps({
+    record = {
         "metric": "teapot512_rays_per_s",
         "value": round(rays_per_s),
         "unit": "rays/s",
@@ -188,7 +254,19 @@ def main():
         "sweep_dense_gpairs": round(stats["dense_pairs"] / 1e9, 4),
         "sweep_achieved_tflops": round(stats["achieved_flops"] / 1e12, 4),
         "sweep_fraction_of_peak": round(stats["fraction_of_peak"], 4),
-    }))
+    }
+    try:
+        record.update(scale_workload(Features, RenderParams, Camera,
+                                     render_image_u8))
+    except Exception as e:      # never let an aux workload kill the bench
+        record["scale_error"] = repr(e)[:120]
+    try:
+        record.update(soft_workload(Features, RenderParams, Camera,
+                                    render_image_u8, load_scene_prebuilt,
+                                    SceneType))
+    except Exception as e:
+        record["soft_error"] = repr(e)[:120]
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

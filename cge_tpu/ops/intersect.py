@@ -209,13 +209,30 @@ def _on_tpu() -> bool:
         return False
 
 
+# Test/dryrun hook: when True, the cluster-sweep Pallas path also runs
+# off-TPU in interpreter mode, so the prims-sharded accel branch can be
+# validated on a virtual CPU mesh (tests/test_sharding.py,
+# __graft_entry__.dryrun_multichip) without real chips.
+FORCE_CLUSTER_INTERPRET = False
+
+
+def _cluster_active(accel) -> bool:
+    return accel is not None and (_on_tpu() or FORCE_CLUSTER_INTERPRET)
+
+
 def uses_cluster_sweep(accel, prims_axis) -> bool:
     """Single source of truth for "closest_hit takes the cluster-sweep
     Pallas path" — and therefore for which id-space its hit ids live in
     (perm-space when the caller asks for perm_ids). wavefront._perm_tables
     keys its attribute-table layout off this same predicate, so the two can
-    never drift (a drift would silently shade with wrong attributes)."""
-    return accel is not None and _on_tpu() and prims_axis is None
+    never drift (a drift would silently shade with wrong attributes).
+
+    Since r4 the predicate no longer excludes prims-sharded sweeps: the TP
+    branch shards superclusters and reports GLOBAL perm-space flat ids, so
+    the same globally-permuted attribute tables apply (prims_axis is kept
+    in the signature as documentation of that contract)."""
+    del prims_axis
+    return _cluster_active(accel)
 
 
 def closest_hit(scene, o, d, tmax, tri_tile: int = 512,
@@ -260,7 +277,8 @@ def closest_hit(scene, o, d, tmax, tri_tile: int = 512,
         return _closest_tris_sweep(o, d, tmax, scene.vertices, tris, mask,
                                    tri_tile, idx_offset=idx_offset)
 
-    if accel is not None and use_pallas and prims_axis is None:
+    interp = FORCE_CLUSTER_INTERPRET and not _on_tpu()
+    if accel is not None and (use_pallas or interp) and prims_axis is None:
         # == uses_cluster_sweep(accel, prims_axis) whenever use_pallas was
         # defaulted (the only way render paths call this)
         from cge_tpu.ops.pallas.cluster_sweep import pallas_cluster_tris
@@ -268,7 +286,58 @@ def closest_hit(scene, o, d, tmax, tri_tile: int = 512,
                                              accel.tiles, accel.perm,
                                              br=br, exact_keys=exact_keys,
                                              shared_origin=shared_origin,
-                                             perm_ids=perm_ids)
+                                             perm_ids=perm_ids,
+                                             interpret=interp)
+    elif accel is not None and (use_pallas or interp):
+        # prims-sharded cluster sweep (the TP analogue, SURVEY.md §2.3):
+        # superclusters — not raw triangles — are sharded across the mesh
+        # axis, so every device keeps the Pallas accel branch. Each shard
+        # sweeps its cluster slice, reports ids as GLOBAL perm-space flat
+        # slots (local slot + cluster offset), and the partials combine
+        # with an all_gather + tie-aware reduce over ICI. Exact-t ties
+        # resolve to the largest global perm slot — the same documented
+        # divergence class as the single-device kernel's visit-order ties.
+        from cge_tpu.ops.pallas.cluster_sweep import (_INVALID_ROW, FLT_MAX,
+                                                      pallas_cluster_tris)
+        L, C = accel.perm.shape
+        Wt = accel.tiles.shape[2]
+        P = prims_axis_size
+        Lp = -(-L // P) * P
+        aabbs, tiles, permc = accel.aabbs, accel.tiles, accel.perm
+        if Lp != L:
+            padL = Lp - L
+            pad_box = jnp.concatenate([
+                jnp.full((padL, 3), FLT_MAX, jnp.float32),
+                jnp.full((padL, 3), -FLT_MAX, jnp.float32),
+                jnp.zeros((padL, 2), jnp.float32)], axis=1)
+            aabbs = jnp.concatenate([aabbs, pad_box], axis=0)
+            inval = jnp.pad(jnp.asarray(_INVALID_ROW, jnp.float32),
+                            (0, Wt - 16))
+            tiles = jnp.concatenate(
+                [tiles, jnp.broadcast_to(inval, (padL, C, Wt))], axis=0)
+            permc = jnp.concatenate(
+                [permc, jnp.full((padL, C), -1, jnp.int32)], axis=0)
+        shard = Lp // P
+        ax = jax.lax.axis_index(prims_axis)
+        ab_l = jax.lax.dynamic_slice_in_dim(aabbs, ax * shard, shard, 0)
+        tl_l = jax.lax.dynamic_slice_in_dim(tiles, ax * shard, shard, 0)
+        pm_l = jax.lax.dynamic_slice_in_dim(permc, ax * shard, shard, 0)
+        t_l, f_l = pallas_cluster_tris(o, d, tmax, ab_l, tl_l, pm_l,
+                                       br=br, exact_keys=exact_keys,
+                                       shared_origin=shared_origin,
+                                       perm_ids=True, interpret=interp)
+        f_g = jnp.where(f_l >= 0, f_l + ax * shard * C, -1)
+        ts = jax.lax.all_gather(t_l, prims_axis)             # [P, R]
+        fs = jax.lax.all_gather(f_g, prims_axis)
+        best_t = jnp.min(ts, axis=0)
+        best_flat = jnp.max(jnp.where(ts == best_t[None, :], fs, -1), axis=0)
+        if perm_ids:
+            best_i = best_flat
+        else:
+            best_i = jnp.where(
+                best_flat >= 0,
+                accel.perm.reshape(-1)[jnp.maximum(
+                    jnp.minimum(best_flat, L * C - 1), 0)], -1)
     elif prims_axis is not None:
         T = scene.tris.shape[0]
         assert T % prims_axis_size == 0, "pad tris to a multiple of the axis"
@@ -315,9 +384,10 @@ def closest_hit_chunked(scene, o, d, tmax, ray_chunk: int = 2048,
     whole ray batch goes through in one call; the XLA fallback (CPU/GPU)
     pads rays to a multiple of ray_chunk and lax.map's chunks through
     `closest_hit` to bound the [rays, tri_tile] intermediates."""
-    if _on_tpu():
+    if _on_tpu() or (FORCE_CLUSTER_INTERPRET and accel is not None):
         return closest_hit(scene, o, d, tmax, tri_tile,
-                           prims_axis, prims_axis_size, use_pallas=True,
+                           prims_axis, prims_axis_size,
+                           use_pallas=_on_tpu(),
                            accel=accel, shared_origin=shared_origin,
                            br=br, exact_keys=exact_keys,
                            perm_ids=perm_ids and accel is not None)

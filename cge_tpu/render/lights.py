@@ -56,7 +56,7 @@ def shadow_visibility(scene, ray_o, ray_d, ray_t, sample_pos, features,
         # kernel lets a blocked ray prune all remaining clusters
         blocked = any_hit_occlusion(scene, p, sdir, tmax, accel=accel,
                                     br=params.sweep_br,
-                                    exact_keys=params.sweep_exact_keys)
+                                    exact_keys=params.sweep_anyhit_exact_keys)
         return jnp.where(blocked, 0.0, 1.0)
     res = closest_hit_chunked(scene, p, sdir, tmax,
                               params.ray_tile, params.tri_tile,

@@ -289,9 +289,12 @@ def _perm_tables(accel, params) -> bool:
 
 def scene_accel(scene, features) -> Accel | None:
     """Build the cluster accel once per trace (TPU only; the XLA fallback
-    sweeps brute-force regardless, so skip the packing work elsewhere)."""
-    if features.enable_accel_structure and _on_tpu() \
-            and scene.cluster_perm is not None:
+    sweeps brute-force regardless, so skip the packing work elsewhere).
+    intersect.FORCE_CLUSTER_INTERPRET extends this to off-TPU interpreter
+    runs (CPU-mesh validation of the sharded accel branch)."""
+    from cge_tpu.ops import intersect as _isect
+    if features.enable_accel_structure and scene.cluster_perm is not None \
+            and (_on_tpu() or _isect.FORCE_CLUSTER_INTERPRET):
         return build_accel(scene)
     return None
 

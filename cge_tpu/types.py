@@ -113,6 +113,13 @@ class RenderParams:
     # keys for the sweep's visit order — exact costs O(blocks*boxes*rays)
     # but typically halves the dense-tile visits
     sweep_exact_keys: bool = True
+    # separate key-pass choice for any-hit (shadow occlusion) sweeps, whose
+    # results don't depend on visit order. Isolated 65k-dispatch timings
+    # favored frustum keys (0.38-0.48 vs 0.50 ms) but the full teapot-512
+    # frame measured WORSE with them (16.4 vs 15.6 ms — the approximate
+    # order costs more dense visits than the cheap keys save), so the
+    # default stays exact; the knob remains for scene-specific tuning.
+    sweep_anyhit_exact_keys: bool = True
     # let primary-ray sweeps use the single-shared-origin fast path (hoists
     # the origin dot products out of the dense tiles)
     sweep_shared_origin: bool = True

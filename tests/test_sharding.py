@@ -58,6 +58,60 @@ def test_rays_x_prims_sharding_matches(scene):
     _cmp(out, ref)
 
 
+def test_prims_cluster_accel_matches_single_device(monkeypatch):
+    """The prims-sharded CLUSTER sweep (r4: superclusters sharded across the
+    axis, global perm-space ids, tie-aware all_gather reduce) must agree
+    with the single-device cluster sweep. Runs the Pallas kernel in
+    interpreter mode on the CPU mesh via FORCE_CLUSTER_INTERPRET."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from cge_tpu.ops import intersect
+
+    monkeypatch.setattr(intersect, "FORCE_CLUSTER_INTERPRET", True)
+    s = load_scene_prebuilt(SceneType.Monkey)       # 8 clusters of 128
+    accel = intersect.build_accel(s)
+    grid = pixel_grid(16, 16).reshape(-1, 2)
+    o, d = Camera().generate_rays(grid)
+    tmax = jnp.full(o.shape[0], jnp.inf, jnp.float32)
+
+    ref = intersect.closest_hit(s, o, d, tmax, accel=accel)
+
+    mesh = make_mesh(("prims",), (2,), devices=jax.devices()[:2])
+
+    def f(o, d, t):
+        return intersect.closest_hit(s, o, d, t, prims_axis="prims",
+                                     prims_axis_size=2, accel=accel)
+
+    # check_vma=False: pallas_call cannot declare varying-mesh-axes info
+    out = shard_map(f, mesh=mesh, in_specs=(P(), P(), P()),
+                    out_specs=P(), check_vma=False)(o, d, tmax)
+    np.testing.assert_array_equal(np.asarray(out.hit), np.asarray(ref.hit))
+    both = np.asarray(out.hit)
+    np.testing.assert_allclose(np.asarray(out.t)[both],
+                               np.asarray(ref.t)[both], rtol=0, atol=0)
+    # ids may differ only on exact-t ties (documented divergence class);
+    # identical t + identical geometry makes real divergence ~impossible
+    # on this scene, so require full agreement here
+    np.testing.assert_array_equal(np.asarray(out.prim)[both],
+                                  np.asarray(ref.prim)[both])
+
+
+def test_prims_cluster_render_matches_single_device(scene, monkeypatch):
+    """End-to-end: a rays x prims sharded render through the cluster accel
+    branch (perm-space attribute tables + global flat ids under TP) equals
+    the single-device render, interpreter-mode kernel on the CPU mesh."""
+    from cge_tpu.ops import intersect
+
+    monkeypatch.setattr(intersect, "FORCE_CLUSTER_INTERPRET", True)
+    feats = dataclasses.replace(FEATS, enable_accel_structure=True)
+    mesh = make_mesh(("rays", "prims"), (4, 2))
+    ref = render_image(scene, Camera(), feats, RenderParams(), 16, 16)
+    out = render_image_sharded(scene, Camera(), feats, RenderParams(),
+                               16, 16, mesh)
+    _cmp(out, ref)
+
+
 def test_train_step_sharded(scene):
     mesh = make_mesh(("rays", "prims"), (4, 2))
     grid = pixel_grid(8, 8).reshape(-1, 2)

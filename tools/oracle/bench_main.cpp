@@ -16,6 +16,7 @@
 #include <framework/window.h>
 #include <chrono>
 #include <cstdio>
+#include <cstring>
 #include <string>
 
 int main(int argc, char** argv)
@@ -41,12 +42,27 @@ int main(int argc, char** argv)
     features.enableAccelStructure = has("accel");
     features.extra.enableBvhSahBinning = has("sah");
 
-    auto sceneType = deserialize(sceneName);
-    if (!sceneType) {
-        fprintf(stderr, "unknown scene %s\n", sceneName.c_str());
-        return 1;
+    Scene scene;
+    if (sceneName.size() > 4
+        && sceneName.compare(sceneName.size() - 4, 4, ".obj") == 0) {
+        // arbitrary OBJ via the reference's file path (scene.cpp:94-103) —
+        // the scale benchmark's dragon stand-in. Optional 7th arg:
+        // "pointlight:x,y,z" adds a white point light.
+        scene = loadSceneFromFile(sceneName, {});
+        for (int a = 6; a < argc; ++a)
+            if (strncmp(argv[a], "pointlight:", 11) == 0) {
+                glm::vec3 v(0.0f);
+                sscanf(argv[a] + 11, "%f,%f,%f", &v.x, &v.y, &v.z);
+                scene.lights.push_back(PointLight { v, glm::vec3(1.0f) });
+            }
+    } else {
+        auto sceneType = deserialize(sceneName);
+        if (!sceneType) {
+            fprintf(stderr, "unknown scene %s\n", sceneName.c_str());
+            return 1;
+        }
+        scene = loadScenePrebuilt(*sceneType, DATA_DIR);
     }
-    Scene scene = loadScenePrebuilt(*sceneType, DATA_DIR);
     BvhInterface bvh { &scene, features };
 
     Window window { glm::ivec2(W, H) };

@@ -20,6 +20,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 CASES = [
     "tests/test_golden_images.py::test_golden_image_512[teapot_accel_512]",
     "tests/test_golden_images.py::test_golden_image_512[teapot_bench_512]",
+    "tests/test_golden_images.py::test_golden_dragon_scale_256",
 ]
 
 

@@ -287,6 +287,15 @@ def _cluster_kernel(order_ref, skey_ref, ray_ref, aabb_ref, tile_ref,
     o_x, o_y, o_z = rays[0:1], rays[1:2], rays[2:3]   # [1, BR]
     d_x, d_y, d_z = rays[3:4], rays[4:5], rays[5:6]
     tm = rays[6:7]
+    # row 7: per-ray exit t from the scene's union AABB (computed by the
+    # wrapper). Any hit satisfies t <= exit (every cluster lies inside the
+    # union box), so the ordered-stop bound min(best, tm) tightens EXACTLY
+    # to min(best, tm, exit). Decisive for divergent bounce batches: a live
+    # ray that misses everything used to pin its block's need at +inf and
+    # force visiting every frustum-touching cluster; now it contributes
+    # only its (typically small) exit t. -inf = provably misses the scene.
+    ex = rays[7:8]
+    tm_eff = jnp.minimum(tm, ex)
     live = tm >= 0
     BR = rays.shape[1]
 
@@ -436,7 +445,7 @@ def _cluster_kernel(order_ref, skey_ref, ray_ref, aabb_ref, tile_ref,
             else:
                 bt, bi = dense(cl, m, slot, cl * c, bt, bi)
         step = step + 1
-        need = jnp.max(jnp.where(live, jnp.minimum(bt, tm), -jnp.inf))
+        need = jnp.max(jnp.where(live, jnp.minimum(bt, tm_eff), -jnp.inf))
         stop = jnp.logical_or(
             step >= n_sc,
             past(skey_ref[0, 0, jnp.minimum(step, n_sc - 1)], need))
@@ -450,7 +459,7 @@ def _cluster_kernel(order_ref, skey_ref, ray_ref, aabb_ref, tile_ref,
         return step, stop, bt, bi
 
     # first-key guard: an all-dead / no-overlap block does zero visits
-    need0 = jnp.max(jnp.where(live, tm, -jnp.inf))
+    need0 = jnp.max(jnp.where(live, tm_eff, -jnp.inf))
     stop0 = past(skey_ref[0, 0, 0], need0)
     if not resident:
         @pl.when(jnp.logical_not(stop0))
@@ -540,10 +549,31 @@ def pallas_cluster_tris(o, d, tmax, aabbs, tiles, perm, br=DEFAULT_BR,
     def pad_r(x, fill=0.0):
         return jnp.pad(x, (0, Rp - R), constant_values=fill)
 
+    # per-ray exit t from the scene's union AABB (see the kernel's row-7
+    # comment): slab test with the prebuilt lib's zero-direction quirk
+    # (a zero component passes the slab outright — conservative here, the
+    # exit merely stays large). Empty/pad cluster rows are lo=+inf/hi=-inf
+    # and vanish in the union min/max.
+    u_lo = jnp.min(aabbs[:, 0:3], axis=0)                     # [3]
+    u_hi = jnp.max(aabbs[:, 3:6], axis=0)
+    nz = d != 0
+    inv_d = jnp.where(nz, 1.0 / jnp.where(nz, d, 1.0), 0.0)
+    t1 = (u_lo[None, :] - o) * inv_d
+    t2 = (u_hi[None, :] - o) * inv_d
+    t1 = jnp.where(nz, t1, -FLT_MAX)
+    t2 = jnp.where(nz, t2, FLT_MAX)
+    tnear_s = jnp.max(jnp.minimum(t1, t2), axis=1)            # [R]
+    tfar_s = jnp.min(jnp.maximum(t1, t2), axis=1)
+    # small relative inflation: boundary triangles lie ON the union box, and
+    # the slab division can round exit an ulp below the triangle t computed
+    # via the plane equation — stay conservative, keep the bound exact
+    exit_t = jnp.where((tnear_s <= tfar_s) & (tfar_s >= 0),
+                       tfar_s * 1.0001 + 1e-6, -jnp.inf)
+
     rays = jnp.stack([
         pad_r(o[:, 0]), pad_r(o[:, 1]), pad_r(o[:, 2]),
         pad_r(d[:, 0]), pad_r(d[:, 1]), pad_r(d[:, 2]),
-        pad_r(tmax, -1.0), jnp.zeros(Rp, jnp.float32)], axis=0)
+        pad_r(tmax, -1.0), pad_r(exit_t, -FLT_MAX)], axis=0)
     rays = rays.reshape(8, Rp // br, br).transpose(1, 0, 2)   # [NB, 8, BR]
 
     n_ray_blocks = Rp // br

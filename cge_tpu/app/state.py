@@ -331,6 +331,21 @@ class AppState:
 
     # ------------------------------------------------------------------ frame
 
+    def _render_ctx(self):
+        """Per-scene prepared render state (accel + attribute tables),
+        rebuilt when the scene object, features or params change — the
+        interactive analogue of the reference's once-per-scene BVH build
+        (main.cpp:219-221). Light edits replace the scene object and
+        conservatively rebuild (tables don't depend on lights, but the
+        rebuild is cheap next to a frame)."""
+        from cge_tpu.render.renderer import prepare_render
+        key = (id(self.scene), self.features, self.params)
+        if getattr(self, "_ctx_key", None) != key:
+            self._ctx = prepare_render(self.scene, self.features,
+                                       self.params)
+            self._ctx_key = key
+        return self._ctx
+
     def frame(self) -> np.ndarray:
         """Compose the current frame [H, W, 3] u8 (the per-frame branch,
         main.cpp:379-473): raster preview with debug overlays, or the ray
@@ -338,7 +353,8 @@ class AppState:
         if self.view_mode == "raytrace":
             img = np.asarray(render_image(self.scene, self.camera,
                                           self.features, self.params,
-                                          self.width, self.height))
+                                          self.width, self.height,
+                                          ctx=self._render_ctx()))
             img = np.nan_to_num(img)
             # the interactive raytrace view stamps screen pixel (0, 0) white
             # after each trace (main.cpp:468); setPixel's y-flip
@@ -443,7 +459,7 @@ class AppState:
         t0 = time.perf_counter()
         img = np.nan_to_num(np.asarray(render_image(
             self.scene, self.camera, self.features, self.params,
-            width, height)))
+            width, height, ctx=self._render_ctx())))
         ms = (time.perf_counter() - t0) * 1e3
         stamp = datetime.datetime.now().strftime("%Y-%m-%d-%H:%M:%S")
         name = os.path.basename(str(self.scene_name)).replace(".obj", "")

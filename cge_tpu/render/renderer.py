@@ -18,15 +18,46 @@ import functools
 import jax
 import jax.numpy as jnp
 
+from typing import NamedTuple, Optional
+
 from cge_tpu.camera import Camera, pixel_grid
 from cge_tpu.render.bloom import render_bloom_filter
 from cge_tpu.render.sampling import dof_rays, msaa_sample_positions
-from cge_tpu.render.wavefront import trace
+from cge_tpu.render.wavefront import (_perm_tables, pack_attr_table,
+                                      scene_accel, trace)
 from cge_tpu.types import Features, RenderParams
 
 
+class RenderContext(NamedTuple):
+    """Scene-derived device state reused across frames: the packed cluster
+    accel and the per-triangle attribute rows. The reference builds its BVH
+    once per scene outside the render loop (main.cpp:502, bench loop);
+    without this, every render call re-derives both inside the jit —
+    ~160 ms/frame of table construction on the 614k-triangle dragon
+    (measured r4). A pytree, so it passes straight through jit."""
+
+    accel: object        # Accel | None
+    tables: object       # [T, 40] f32 attr rows | None
+
+
+@functools.partial(jax.jit, static_argnames=("features", "params"))
+def prepare_render(scene, features: Features,
+                   params: RenderParams) -> RenderContext:
+    """Build the reusable per-scene render state (accel + attribute rows).
+
+    Pass the result to render_image(..., ctx=...) when rendering the same
+    scene repeatedly. Note: gradients do NOT flow from a prepared context
+    back to the scene — differentiable paths should omit ctx so the
+    tables are rebuilt inside the trace."""
+    accel = scene_accel(scene, features)
+    tables = pack_attr_table(
+        scene, tri_ids=accel.perm if _perm_tables(accel, params) else None)
+    return RenderContext(accel=accel, tables=tables)
+
+
 def _trace_rays(scene, o, d, features, params, key,
-                shared_origin: bool = False):
+                shared_origin: bool = False,
+                ctx: Optional[RenderContext] = None):
     # optimization_barrier: fusing the ray-generation producer chain into
     # the intersection sweep SIGILLs the XLA:TPU fusion cost model
     # (TpuPriorityFusionQueue::NormalizedComputationCost) at some shapes;
@@ -34,17 +65,20 @@ def _trace_rays(scene, o, d, features, params, key,
     o, d = jax.lax.optimization_barrier((o, d))
     N = o.shape[0]
     C = params.trace_chunk
+    accel = ctx.accel if ctx is not None else None
+    tables = ctx.tables if ctx is not None else None
     if N <= C:
         return trace(scene, o, d, features, params, key,
-                     shared_origin=shared_origin)
+                     shared_origin=shared_origin, accel=accel,
+                     tables=tables)
     # Chunk big wavefronts through one compiled trace body (lax.map): XLA
     # compile time and VMEM footprint stay bounded by the chunk shape
     # instead of growing with resolution. The packed cluster tiles are
     # built once and shared across chunks. Chunking changes the threefry
     # stream of the stochastic features (keys fold in the chunk index) —
     # same distribution, different samples.
-    from cge_tpu.render.wavefront import scene_accel
-    accel = scene_accel(scene, features)
+    if accel is None:
+        accel = scene_accel(scene, features)
     pad = (-N) % C
     # pad direction with a unit vector so the dead rows stay NaN-free
     o_p = jnp.pad(o, ((0, pad), (0, 0)))
@@ -56,7 +90,7 @@ def _trace_rays(scene, o, d, features, params, key,
         i, oo, dd = args
         return trace(scene, oo, dd, features, params,
                      jax.random.fold_in(key, i), accel=accel,
-                     shared_origin=shared_origin)
+                     shared_origin=shared_origin, tables=tables)
 
     cols = jax.lax.map(body, (jnp.arange(nc),
                               o_p.reshape(nc, C, 3), d_p.reshape(nc, C, 3)))
@@ -102,7 +136,8 @@ def _unswizzle_rows(x, width: int, height: int, tw: int = 32, th: int = 16):
 
 
 def _render_impl(scene, camera: Camera, features: Features,
-                 params: RenderParams, width: int, height: int, seed):
+                 params: RenderParams, width: int, height: int, seed,
+                 ctx: Optional[RenderContext] = None):
     key = jax.random.PRNGKey(seed)
     grid = pixel_grid(width, height).reshape(-1, 2)          # [N,2] screen order
     tiled = width % 32 == 0 and height % 16 == 0
@@ -123,7 +158,8 @@ def _render_impl(scene, camera: Camera, features: Features,
                                     jax.random.fold_in(key, 101))
         o, d = camera.generate_rays(pos.reshape(-1, 2))
         col = _trace_rays(scene, o, d, features, params,
-                          jax.random.fold_in(key, 1), shared_origin=True)
+                          jax.random.fold_in(key, 1), shared_origin=True,
+                          ctx=ctx)
         color_sum = color_sum + col.reshape(N, n * n, 3).mean(axis=1)
         weight += 1
 
@@ -132,7 +168,7 @@ def _render_impl(scene, camera: Camera, features: Features,
         o, d = dof_rays(grid, camera, params.focus_plane_distance,
                         params.blur_strength, n, jax.random.fold_in(key, 202))
         col = _trace_rays(scene, o.reshape(-1, 3), d.reshape(-1, 3), features,
-                          params, jax.random.fold_in(key, 2))
+                          params, jax.random.fold_in(key, 2), ctx=ctx)
         color_sum = color_sum + col.reshape(N, n, 3).mean(axis=1) * 3.0
         weight += 3
 
@@ -140,7 +176,8 @@ def _render_impl(scene, camera: Camera, features: Features,
             or features.enable_depth_of_field):
         o, d = camera.generate_rays(grid)
         col = _trace_rays(scene, o, d, features, params,
-                          jax.random.fold_in(key, 3), shared_origin=True)
+                          jax.random.fold_in(key, 3), shared_origin=True,
+                          ctx=ctx)
         color_sum = color_sum + col
         weight += 1
 
@@ -160,11 +197,15 @@ def _render_impl(scene, camera: Camera, features: Features,
     jax.jit,
     static_argnames=("features", "params", "width", "height"))
 def render_image(scene, camera: Camera, features: Features,
-                 params: RenderParams, width: int, height: int, seed=0):
+                 params: RenderParams, width: int, height: int, seed=0,
+                 ctx: Optional[RenderContext] = None):
     """Render [height, width, 3] f32 radiance, row 0 = top.
 
-    camera is a traced pytree: different cameras reuse one executable."""
-    return _render_impl(scene, camera, features, params, width, height, seed)
+    camera is a traced pytree: different cameras reuse one executable.
+    ctx: optional prepare_render result — reuses the scene's accel and
+    attribute tables across frames (see RenderContext)."""
+    return _render_impl(scene, camera, features, params, width, height, seed,
+                        ctx)
 
 
 @functools.partial(
@@ -190,12 +231,14 @@ def render_images(scene, cameras: Camera, features: Features,
     jax.jit,
     static_argnames=("features", "params", "width", "height"))
 def render_image_u8(scene, camera: Camera, features: Features,
-                    params: RenderParams, width: int, height: int, seed=0):
+                    params: RenderParams, width: int, height: int, seed=0,
+                    ctx: Optional[RenderContext] = None):
     """Render and quantize to the BMP byte framebuffer on device:
     clamp to [0, 1] and scale by 255 exactly like Screen::writeBitmapToFile
     (screen.cpp:49-60). Keeps the host transfer at 1 byte/channel — the
     same payload the reference's output path materializes."""
-    img = _render_impl(scene, camera, features, params, width, height, seed)
+    img = _render_impl(scene, camera, features, params, width, height, seed,
+                       ctx)
     img = jnp.nan_to_num(img)   # shading-quirk NaNs render as black there too
     return (jnp.clip(img, 0.0, 1.0) * 255.0).astype(jnp.uint8)
 

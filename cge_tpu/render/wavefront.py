@@ -687,19 +687,26 @@ def trace_glossy(scene, o, d, features, params, key, accel=None,
 
 
 def trace(scene, o, d, features, params, key, accel=None,
-          shared_origin: bool = False):
+          shared_origin: bool = False, tables=None):
     """Dispatch to the right statically-specialized trace shape.
 
     accel: pass a prebuilt Accel to share the packed cluster tiles across
     chunked trace calls (cge_tpu.render.renderer); None builds one here.
+    tables: prebuilt pack_attr_table rows matching accel's id space (see
+    renderer.prepare_render) — building the [T, 40] rows costs real frame
+    time at scale (~160 ms/frame on the 614k-tri dragon, measured r4), so
+    repeated renders of one scene should prepare them once. None builds
+    them here (keeps gradients flowing scene -> table -> radiance for the
+    differentiable paths).
     shared_origin: static promise that all rays share one origin (pinhole
     primary batches — plain and MSAA paths; not DoF). Only the first bounce
     exploits it; children scatter to per-ray origins.
     """
     if accel is None:
         accel = scene_accel(scene, features)
-    tables = pack_attr_table(
-        scene, tri_ids=accel.perm if _perm_tables(accel, params) else None)
+    if tables is None:
+        tables = pack_attr_table(
+            scene, tri_ids=accel.perm if _perm_tables(accel, params) else None)
     if features.enable_recursive and features.enable_glossy_reflection:
         return trace_glossy(scene, o, d, features, params, key, accel=accel,
                             shared_origin=shared_origin, tables=tables)

@@ -383,13 +383,22 @@ def _cluster_kernel(order_ref, skey_ref, ray_ref, aabb_ref, tile_ref,
             ox, oy, oz = o_x, o_y, o_z
         on = ox * nx + oy * ny + oz * nz              # [C, BR] or [C, 1]
         t = (D - on) / dn
+        # hit point once (3 fmas), then each edge test m.p - b >= 0 is 3
+        # fmas + a compare — vs the two-dot form (o.m - b) + t*(d.m) at ~12
+        # ops/edge. Algebraically identical (p = o + t*d distributes), ~40%
+        # fewer VPU ops per pair (the tile is op-count-bound; PERF_r04.md).
+        # Pad rows (m = 0, b = 1) give e = -1 < 0; dn = 0 rows give
+        # t = +-inf/NaN whose comparisons are false — both still rejected.
+        # Always the [1, BR] origin rows here (not the [1, 1] shared-origin
+        # hoist): Mosaic cannot broadcast along sublanes AND lanes at once.
+        px = o_x + t * d_x                            # [C, BR]
+        py = o_y + t * d_y
+        pz = o_z + t * d_z
 
         def edge_ok(k):
             mx, my, mz, b = col(4 * k + 4), col(4 * k + 5), \
                 col(4 * k + 6), col(4 * k + 7)
-            dm = d_x * mx + d_y * my + d_z * mz
-            om = ox * mx + oy * my + oz * mz
-            return (om - b) + t * dm >= 0
+            return (px * mx - b) + py * my + pz * mz >= 0
 
         inside = edge_ok(0) & edge_ok(1) & edge_ok(2)
         return _accept(t, inside, base, prev_t, prev_i)

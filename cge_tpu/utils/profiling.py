@@ -114,11 +114,14 @@ def trace(log_dir: str):
 
 def sweep_roofline(n_rays: int, n_tris: int, wall_s: float,
                    peak_flops: float = 4.0e12) -> dict:
-    """Roofline estimate for the brute intersection sweep: ~60 f32 VPU flops
-    per (ray, triangle) pair (plane t + point-in-triangle edge tests,
-    cge_tpu.ops.pallas.sweep). peak_flops defaults to one v5e core's f32
-    VPU rate. Returns achieved flops, fraction of peak, and pair rate."""
-    flops = 60.0 * n_rays * n_tris
+    """Roofline estimate for the intersection sweep's dense tile: ~37 f32
+    VPU ops per (ray, triangle) pair in the r4 hit-point formulation —
+    dn (5) + on (5) + t (2) + p (3 fma) + 3 edges (3 fma + cmp each) +
+    accept/min/select tail (~10); see cluster_sweep._cluster_kernel.dense.
+    peak_flops defaults to one v5e core's f32 VPU rate (which counts an
+    fma as 2 — compare/select-heavy tiles top out well below 1.0).
+    Returns achieved flops, fraction of peak, and pair rate."""
+    flops = 37.0 * n_rays * n_tris
     achieved = flops / wall_s if wall_s > 0 else 0.0
     return dict(
         pair_tests=n_rays * n_tris,

@@ -55,15 +55,21 @@ def run(config: Config, params: RenderParams | None = None) -> list:
     stamp = datetime.datetime.now().strftime("%Y-%m-%d-%H:%M:%S")
 
     cams = [c.to_camera(aspect=w / h) for c in config.cameras]
+    # per-scene render state (accel + attr tables) prepared once and shared
+    # by every camera — the reference's one-BVH-for-all-threads flow
+    # (main.cpp:502, 512-531)
+    from cge_tpu.render.renderer import prepare_render
+    ctx = prepare_render(scene, config.features, params)
     if len(cams) > 1:
         # all cameras as ONE wavefront batch (one compiled program, one
         # launch) — the TPU-native version of the per-camera threads
         from cge_tpu.render.renderer import render_images, stack_cameras
         imgs = np.asarray(render_images(scene, stack_cameras(cams),
-                                        config.features, params, w, h, 0))
+                                        config.features, params, w, h, 0,
+                                        ctx))
     else:
         imgs = np.asarray(render_image(scene, cams[0], config.features,
-                                       params, w, h, 0))[None]
+                                       params, w, h, 0, ctx))[None]
 
     paths = []
     for i in range(len(cams)):

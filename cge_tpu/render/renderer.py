@@ -212,16 +212,19 @@ def render_image(scene, camera: Camera, features: Features,
     jax.jit,
     static_argnames=("features", "params", "width", "height"))
 def render_images(scene, cameras: Camera, features: Features,
-                  params: RenderParams, width: int, height: int, seed=0):
+                  params: RenderParams, width: int, height: int, seed=0,
+                  ctx: Optional[RenderContext] = None):
     """Render a BATCH of cameras in one compiled program: [C, H, W, 3].
 
     cameras: a Camera pytree whose leaves carry a leading camera axis
     (see stack_cameras). The TPU-native replacement for the reference's
     one-std::thread-per-camera CLI loop (main.cpp:512-531): the camera batch
     becomes one big wavefront, so a multi-camera render keeps the chip as
-    busy as a single render C times the size."""
+    busy as a single render C times the size. ctx (prepare_render) is
+    shared by every camera, like the reference's one scene+BVH."""
     def one(camera, s):
-        return _render_impl(scene, camera, features, params, width, height, s)
+        return _render_impl(scene, camera, features, params, width, height,
+                            s, ctx)
 
     n = jax.tree.leaves(cameras)[0].shape[0]
     return jax.vmap(one)(cameras, seed + jnp.arange(n))

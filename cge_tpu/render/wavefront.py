@@ -190,46 +190,9 @@ def hit_attributes(scene, o, d, ids: HitIds, features,
                     shininess=shininess, transparency=transparency)
 
 
-def _part1by2(x):
-    """Spread the low 10 bits of x to every 3rd bit (morton interleave)."""
-    x = x & 0x3ff
-    x = (x | (x << 16)) & 0x30000ff
-    x = (x | (x << 8)) & 0x300f00f
-    x = (x | (x << 4)) & 0x30c30c3
-    x = (x | (x << 2)) & 0x9249249
-    return x
-
-
-def _ray_sort_perm(o, d, tmax, accel: Accel):
-    """Coherence permutation for a divergent ray batch: direction octant
-    (3 bits) then a 27-bit morton code of the origin within the scene's
-    cluster bounds. Dead rays (tmax < 0) sort to the end, so their whole
-    512-ray blocks hit the kernel's zero-visit early-out.
-
-    Secondary (bounce/shadow) rays scatter in direction after the first
-    hit; in screen order their blocks' frustums cover most of the scene and
-    the per-block sweep loses its early stop. Sorting restores the
-    coherence the 32x16 primary-tile swizzle provides for bounce rays —
-    the wavefront-compaction step of a classic GPU path tracer, expressed
-    as one argsort + gathers (SURVEY.md §7 'wavefront megakernel')."""
-    lo = jnp.min(accel.aabbs[:, 0:3], axis=0)
-    hi = jnp.max(accel.aabbs[:, 3:6], axis=0)
-    ext = jnp.maximum(hi - lo, 1e-20)
-    q = jnp.clip((o - lo) / ext * 1024.0, 0.0, 1023.0).astype(jnp.int32)
-    morton = (_part1by2(q[:, 0]) << 2) | (_part1by2(q[:, 1]) << 1) \
-        | _part1by2(q[:, 2])
-    octant = ((d[:, 0] > 0).astype(jnp.int32) * 4
-              + (d[:, 1] > 0).astype(jnp.int32) * 2
-              + (d[:, 2] > 0).astype(jnp.int32))
-    key = (octant << 27) | morton
-    key = jnp.where(tmax >= 0, key, jnp.int32(0x7FFFFFFF))
-    return jnp.argsort(key)
-
-
 def _intersect_and_shade(scene, o, d, features, params, key,
                          alive=None, accel: Accel | None = None,
-                         shared_origin: bool = False,
-                         sort_rays: bool = False, tables=None):
+                         shared_origin: bool = False, tables=None):
     """One bounce: closest hit, attributes, local radiance.
 
     alive: optional [N] bool — dead rays get tmax = -1, which both sweep
@@ -238,25 +201,20 @@ def _intersect_and_shade(scene, o, d, features, params, key,
     shared_origin: static promise that every ray in the batch shares one
     origin (pinhole primary rays) — the cluster kernel hoists the
     origin-side dot products out of its dense tiles.
-    sort_rays: permute the batch into coherent blocks first (bounce levels;
-    see _ray_sort_perm) — everything below, including the shadow sweeps in
-    light_contribution, then runs on coherent blocks; outputs are
-    unpermuted on return. Changes the per-ray threefry sample assignment of
-    the stochastic features (same distribution) and exact-t tie blocks —
-    the documented divergence classes."""
+
+    NOTE a ray-sorting variant (octant+morton coherence permutation for
+    the divergent bounce levels) was built in r3, measured a loss on
+    teapot-512, re-measured in r4 with alive-first packing and sub-chunked
+    variants, and lost every time (PERF_r04.md items 2/8): TPU
+    sorts/gathers at wavefront sizes dwarf the sweep work they save, and
+    the kernel's own per-block liveness culls absorb most dead-ray cost.
+    The sort path was deleted; this note is the tombstone."""
     N = o.shape[0]
     shared_origin = shared_origin and params.sweep_shared_origin
     if alive is None:
         tmax = jnp.full(N, jnp.inf, jnp.float32)
     else:
         tmax = jnp.where(alive, jnp.inf, -1.0)
-
-    sort_rays = sort_rays and accel is not None and _on_tpu()
-    if sort_rays:
-        perm = _ray_sort_perm(_sg(o), _sg(d), _sg(tmax), accel)
-        inv = jnp.argsort(perm)
-        o, d, tmax = o[perm], d[perm], tmax[perm]
-        alive = None if alive is None else alive[perm]
 
     ids = closest_hit_chunked(scene, o, d, tmax, params.ray_tile,
                               params.tri_tile, params.prims_axis,
@@ -272,9 +230,6 @@ def _intersect_and_shade(scene, o, d, features, params, key,
                                if alive is None else (alive & attrs.hit),
                                accel=accel)
     local = jnp.where(attrs.hit[:, None], local, 0.0)
-    if sort_rays:
-        attrs = jax.tree.map(lambda x: x[inv], attrs)
-        local = local[inv]
     return attrs, local
 
 

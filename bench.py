@@ -262,6 +262,10 @@ def main():
         "sweep_dense_gpairs": round(stats["dense_pairs"] / 1e9, 4),
         "sweep_achieved_tflops": round(stats["achieved_flops"] / 1e12, 4),
         "sweep_fraction_of_peak": round(stats["fraction_of_peak"], 4),
+        # pair rate is the cross-round comparable number: the r4 tile does
+        # ~37 ops/pair (was ~60), so achieved-flops/fraction dropped by
+        # accounting while the kernel got faster in wall time
+        "sweep_gpairs_per_s": round(stats["pairs_per_s"] / 1e9, 4),
     }
     try:
         record.update(scale_workload(Features, RenderParams, Camera,

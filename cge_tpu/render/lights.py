@@ -114,72 +114,89 @@ def light_contribution(scene, ray_o, ray_d, ray_t, normal, kd, ks, shininess,
             return sh * vis[..., None]
         return sh
 
+    def masked(mask_li, body):
+        """One light slot's contribution, skipped ENTIRELY when the slot is
+        masked out (scene arrays carry fixed-size typed light slots; a
+        masked slot used to run its full stratified shadow sweep and then
+        multiply by zero — 46 ms/chunk for a dead segment slot on the
+        soft-shadow bench, measured r4). lax.cond keeps the skip at
+        runtime; under vmap (render_images) it may degrade to select,
+        which merely restores the old always-compute behavior."""
+        return jax.lax.cond(
+            mask_li, body, lambda: jnp.zeros((N, 3), jnp.float32))
+
     # ---- point lights (light.cpp:115-122)
     LP = scene.point_pos.shape[0]
     for li in range(LP):
-        pos = jnp.broadcast_to(scene.point_pos[li], (N, 3))
-        col = jnp.broadcast_to(scene.point_color[li], (N, 3))
-        contrib = shade_vis(pos, col, features.enable_hard_shadow)
-        result = result + jnp.where(scene.point_mask[li], contrib, 0.0)
+        def point_body(li=li):
+            pos = jnp.broadcast_to(scene.point_pos[li], (N, 3))
+            col = jnp.broadcast_to(scene.point_color[li], (N, 3))
+            return shade_vis(pos, col, features.enable_hard_shadow)
+        result = result + masked(scene.point_mask[li], point_body)
 
     # ---- segment lights (light.cpp:123-138): soft shadows only
     if features.enable_soft_shadow:
         SS = params.segment_light_samples
         LS = scene.seg_p0.shape[0]
         for li in range(LS):
-            k = jax.random.fold_in(key, 1000 + li)
-            r = jax.random.uniform(k, (N, SS))
-            idx = jnp.arange(SS, dtype=jnp.float32)[None, :]
-            pos, col = sample_segment_light(
-                scene.seg_p0[li], scene.seg_p1[li],
-                scene.seg_c0[li], scene.seg_c1[li], idx, float(SS), r)
-            # flatten samples into the ray axis for one batched shadow sweep
-            o_f = jnp.repeat(ray_o, SS, axis=0)
-            d_f = jnp.repeat(ray_d, SS, axis=0)
-            t_f = jnp.repeat(ray_t, SS, axis=0)
-            n_f = jnp.repeat(normal, SS, axis=0)
-            kd_f = jnp.repeat(kd, SS, axis=0)
-            ks_f = jnp.repeat(ks, SS, axis=0)
-            sh_f = jnp.repeat(shininess, SS, axis=0)
-            pos_f = pos.reshape(-1, 3)
-            col_f = col.reshape(-1, 3)
-            a_f = None if alive is None else jnp.repeat(alive, SS, axis=0)
-            sh = compute_shading(pos_f, col_f, o_f, d_f, t_f, n_f, kd_f, ks_f, sh_f)
-            vis = shadow_visibility(scene, o_f, d_f, t_f, pos_f, features,
-                                    params, a_f, accel)
-            contrib = (sh * vis[..., None]).reshape(N, SS, 3).sum(axis=1) / SS
-            result = result + jnp.where(scene.seg_mask[li], contrib, 0.0)
+            def seg_body(li=li):
+                k = jax.random.fold_in(key, 1000 + li)
+                r = jax.random.uniform(k, (N, SS))
+                idx = jnp.arange(SS, dtype=jnp.float32)[None, :]
+                pos, col = sample_segment_light(
+                    scene.seg_p0[li], scene.seg_p1[li],
+                    scene.seg_c0[li], scene.seg_c1[li], idx, float(SS), r)
+                # flatten samples into the ray axis: one batched shadow sweep
+                o_f = jnp.repeat(ray_o, SS, axis=0)
+                d_f = jnp.repeat(ray_d, SS, axis=0)
+                t_f = jnp.repeat(ray_t, SS, axis=0)
+                n_f = jnp.repeat(normal, SS, axis=0)
+                kd_f = jnp.repeat(kd, SS, axis=0)
+                ks_f = jnp.repeat(ks, SS, axis=0)
+                sh_f = jnp.repeat(shininess, SS, axis=0)
+                pos_f = pos.reshape(-1, 3)
+                col_f = col.reshape(-1, 3)
+                a_f = None if alive is None else jnp.repeat(alive, SS, axis=0)
+                sh = compute_shading(pos_f, col_f, o_f, d_f, t_f, n_f, kd_f,
+                                     ks_f, sh_f)
+                vis = shadow_visibility(scene, o_f, d_f, t_f, pos_f, features,
+                                        params, a_f, accel)
+                return (sh * vis[..., None]).reshape(N, SS, 3).sum(axis=1) / SS
+            result = result + masked(scene.seg_mask[li], seg_body)
 
         # ---- parallelogram lights (light.cpp:139-157)
         PS = params.parallelogram_light_direction_samples
         LQ = scene.par_v0.shape[0]
         for li in range(LQ):
-            k = jax.random.fold_in(key, 2000 + li)
-            r1 = jax.random.uniform(jax.random.fold_in(k, 0), (N, PS, PS))
-            r2 = jax.random.uniform(jax.random.fold_in(k, 1), (N, PS, PS))
-            hi = jnp.arange(PS, dtype=jnp.float32)[None, :, None]
-            vi = jnp.arange(PS, dtype=jnp.float32)[None, None, :]
-            pos, col = sample_parallelogram_light(
-                scene.par_v0[li], scene.par_e01[li], scene.par_e02[li],
-                scene.par_c0[li], scene.par_c1[li], scene.par_c2[li],
-                scene.par_c3[li],
-                jnp.broadcast_to(hi, (N, PS, PS)),
-                jnp.broadcast_to(vi, (N, PS, PS)), float(PS), float(PS), r1, r2)
-            M = PS * PS
-            o_f = jnp.repeat(ray_o, M, axis=0)
-            d_f = jnp.repeat(ray_d, M, axis=0)
-            t_f = jnp.repeat(ray_t, M, axis=0)
-            n_f = jnp.repeat(normal, M, axis=0)
-            kd_f = jnp.repeat(kd, M, axis=0)
-            ks_f = jnp.repeat(ks, M, axis=0)
-            sh_f = jnp.repeat(shininess, M, axis=0)
-            pos_f = pos.reshape(-1, 3)
-            col_f = col.reshape(-1, 3)
-            a_f = None if alive is None else jnp.repeat(alive, M, axis=0)
-            sh = compute_shading(pos_f, col_f, o_f, d_f, t_f, n_f, kd_f, ks_f, sh_f)
-            vis = shadow_visibility(scene, o_f, d_f, t_f, pos_f, features,
-                                    params, a_f, accel)
-            contrib = (sh * vis[..., None]).reshape(N, M, 3).sum(axis=1) / M
-            result = result + jnp.where(scene.par_mask[li], contrib, 0.0)
+            def par_body(li=li):
+                k = jax.random.fold_in(key, 2000 + li)
+                r1 = jax.random.uniform(jax.random.fold_in(k, 0), (N, PS, PS))
+                r2 = jax.random.uniform(jax.random.fold_in(k, 1), (N, PS, PS))
+                hi = jnp.arange(PS, dtype=jnp.float32)[None, :, None]
+                vi = jnp.arange(PS, dtype=jnp.float32)[None, None, :]
+                pos, col = sample_parallelogram_light(
+                    scene.par_v0[li], scene.par_e01[li], scene.par_e02[li],
+                    scene.par_c0[li], scene.par_c1[li], scene.par_c2[li],
+                    scene.par_c3[li],
+                    jnp.broadcast_to(hi, (N, PS, PS)),
+                    jnp.broadcast_to(vi, (N, PS, PS)), float(PS), float(PS),
+                    r1, r2)
+                M = PS * PS
+                o_f = jnp.repeat(ray_o, M, axis=0)
+                d_f = jnp.repeat(ray_d, M, axis=0)
+                t_f = jnp.repeat(ray_t, M, axis=0)
+                n_f = jnp.repeat(normal, M, axis=0)
+                kd_f = jnp.repeat(kd, M, axis=0)
+                ks_f = jnp.repeat(ks, M, axis=0)
+                sh_f = jnp.repeat(shininess, M, axis=0)
+                pos_f = pos.reshape(-1, 3)
+                col_f = col.reshape(-1, 3)
+                a_f = None if alive is None else jnp.repeat(alive, M, axis=0)
+                sh = compute_shading(pos_f, col_f, o_f, d_f, t_f, n_f, kd_f,
+                                     ks_f, sh_f)
+                vis = shadow_visibility(scene, o_f, d_f, t_f, pos_f, features,
+                                        params, a_f, accel)
+                return (sh * vis[..., None]).reshape(N, M, 3).sum(axis=1) / M
+            result = result + masked(scene.par_mask[li], par_body)
 
     return result

@@ -197,7 +197,7 @@ def soft_workload(Features, RenderParams, Camera, render_image_u8,
     ref = reference_ms("cornell_box_parallelogram_light",
                        "shading,soft_shadow", LAST_SOFT_REF_MS, reps=2)
     # per pixel: 1 primary + 5x5 parallelogram shadow samples
-    rays = W * H * (1 + RenderParams().parallelogram_light_direction_samples ** 2)
+    rays = W * H * (1 + params.parallelogram_light_direction_samples ** 2)
     return dict(soft_u8_ms=round(ms, 2), soft_ref_ms=round(ref, 2),
                 soft_mrays_per_s=round(rays / ms / 1e3, 3),
                 soft_vs_ref=round(ref / ms, 3))

@@ -224,6 +224,13 @@ def _intersect_and_shade(scene, o, d, features, params, key,
                               exact_keys=params.sweep_exact_keys,
                               perm_ids=_perm_tables(accel, params))
     attrs = hit_attributes(scene, o, d, ids, features, attr_rows=tables)
+    if _on_tpu():
+        # materialize the per-ray attributes: without this barrier XLA
+        # fuses the [N, 40] attr-row slices into the downstream light-slot
+        # cond bodies, forcing whole-row relayout copies across each cond
+        # boundary (3x [65k, 40] copies/level, ~1 ms/frame on teapot-512,
+        # r4 xplane trace). The sliced [N]/[N,3] attrs are 13x smaller.
+        attrs = jax.tree.map(jax.lax.optimization_barrier, attrs)
     local = light_contribution(scene, o, d, attrs.t, attrs.normal, attrs.kd,
                                attrs.ks, attrs.shininess, features, params,
                                key, alive=jnp.asarray(attrs.hit)

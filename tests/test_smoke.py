@@ -79,3 +79,21 @@ def test_batched_cameras_match_sequential():
         single = np.asarray(render_image(scene, cam, feats, params, 24, 24, i))
         np.testing.assert_allclose(np.nan_to_num(batch[i]),
                                    np.nan_to_num(single), rtol=2e-5, atol=1e-6)
+
+
+def test_prepared_context_matches_inline():
+    """render_image with a prepare_render context must equal the inline
+    (per-call rebuild) path bit-for-bit — same accel, same attribute
+    tables, just built once (r4 RenderContext; verified byte-identical on
+    TPU teapot-512 as well)."""
+    from cge_tpu import prepare_render
+
+    scene = load_scene_prebuilt(SceneType.CornellBox)
+    feats = Features(enable_shading=True, enable_hard_shadow=True,
+                     enable_recursive=True, enable_accel_structure=True)
+    params = RenderParams()
+    cam = Camera()
+    ctx = prepare_render(scene, feats, params)
+    a = np.asarray(render_image(scene, cam, feats, params, 32, 32))
+    b = np.asarray(render_image(scene, cam, feats, params, 32, 32, 0, ctx))
+    np.testing.assert_array_equal(np.nan_to_num(a), np.nan_to_num(b))

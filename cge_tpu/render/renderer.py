@@ -23,8 +23,7 @@ from typing import NamedTuple, Optional
 from cge_tpu.camera import Camera, pixel_grid
 from cge_tpu.render.bloom import render_bloom_filter
 from cge_tpu.render.sampling import dof_rays, msaa_sample_positions
-from cge_tpu.render.wavefront import (_perm_tables, pack_attr_table,
-                                      scene_accel, trace)
+from cge_tpu.render.wavefront import scene_accel, scene_tables, trace
 from cge_tpu.types import Features, RenderParams
 
 
@@ -50,9 +49,8 @@ def prepare_render(scene, features: Features,
     back to the scene — differentiable paths should omit ctx so the
     tables are rebuilt inside the trace."""
     accel = scene_accel(scene, features)
-    tables = pack_attr_table(
-        scene, tri_ids=accel.perm if _perm_tables(accel, params) else None)
-    return RenderContext(accel=accel, tables=tables)
+    return RenderContext(accel=accel,
+                         tables=scene_tables(scene, accel, params))
 
 
 def _trace_rays(scene, o, d, features, params, key,

@@ -249,6 +249,14 @@ def _perm_tables(accel, params) -> bool:
     return uses_cluster_sweep(accel, params.prims_axis)
 
 
+def scene_tables(scene, accel, params):
+    """Attribute rows matching closest_hit's hit-id space for this accel:
+    cluster-perm-ordered when the Pallas sweep will emit perm-space ids,
+    scene-ordered otherwise (the _perm_tables predicate)."""
+    return pack_attr_table(
+        scene, tri_ids=accel.perm if _perm_tables(accel, params) else None)
+
+
 def scene_accel(scene, features) -> Accel | None:
     """Build the cluster accel once per trace (TPU only; the XLA fallback
     sweeps brute-force regardless, so skip the packing work elsewhere).

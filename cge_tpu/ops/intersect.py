@@ -418,12 +418,13 @@ def any_hit_occlusion(scene, o, d, tmax, accel: Accel | None = None,
     elsewhere it falls back to closest-hit."""
     sg = jax.lax.stop_gradient
     o, d, tmax = sg(o), sg(d), sg(tmax)
-    if accel is not None and _on_tpu():
+    if _cluster_active(accel):
         from cge_tpu.ops.pallas.cluster_sweep import pallas_cluster_tris
         tri_hit, _ = pallas_cluster_tris(o, d, tmax, accel.aabbs,
                                          accel.tiles, accel.perm,
                                          br=br, exact_keys=exact_keys,
-                                         any_hit=True)
+                                         any_hit=True,
+                                         interpret=not _on_tpu())
         ts = intersect_spheres_t(o, d, tmax, scene.sph_center,
                                  scene.sph_radius)
         ts = jnp.where(scene.sph_mask[None, :], ts, jnp.inf)

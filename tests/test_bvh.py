@@ -192,3 +192,68 @@ def test_cluster_sweep_hbm_layout_matches_resident(cornell):
                                  interpret=True)
     np.testing.assert_array_equal(np.asarray(i1), np.asarray(i0))
     np.testing.assert_array_equal(np.asarray(t1), np.asarray(t0))
+
+
+def test_cluster_sweep_exit_bound_boundary_hit():
+    """r4 scene-exit stop bound: a triangle ON the union box's far face
+    must still be hit (the bound is inflated past slab-division rounding),
+    and rays that provably miss the scene box must do zero damage."""
+    V = jnp.asarray([
+        # near triangle at z = 1 (small), far triangle at z = 4 spanning
+        # the box's far boundary plane
+        [-0.2, -0.2, 1.0], [0.2, -0.2, 1.0], [0.0, 0.25, 1.0],
+        [-2.0, -2.0, 4.0], [2.0, -2.0, 4.0], [0.0, 2.5, 4.0],
+    ], jnp.float32)
+    T = jnp.asarray([[0, 1, 2], [3, 4, 5]], jnp.int32)
+    mask = np.ones(2, bool)
+    perm = jnp.asarray(build_clusters(np.asarray(V), np.asarray(T), mask))
+    aabbs, tiles = pack_cluster_tiles(V, T, perm)
+    o = jnp.asarray([
+        [0.0, 0.0, 0.0],    # hits near tri at t=1
+        [1.0, 0.0, 0.0],    # misses near, hits FAR tri exactly on exit face
+        [0.0, 0.0, 5.0],    # behind everything, pointing away -> miss
+        [10.0, 0.0, 0.0],   # outside the box corridor -> miss
+    ], jnp.float32)
+    d = jnp.asarray([[0.0, 0.0, 1.0]] * 3 + [[0.0, 0.0, -1.0]], jnp.float32)
+    tmax = jnp.full(4, jnp.inf, jnp.float32)
+    t, i = pallas_cluster_tris(o, d, tmax, aabbs, tiles, perm, br=128,
+                               interpret=True)
+    t, i = np.asarray(t), np.asarray(i)
+    np.testing.assert_allclose(t[0], 1.0, rtol=1e-6)
+    np.testing.assert_allclose(t[1], 4.0, rtol=1e-6)   # boundary hit kept
+    assert not np.isfinite(t[2]) and not np.isfinite(t[3])
+    assert i[2] == -1 and i[3] == -1
+
+
+def test_any_hit_occlusion_reversed_matches_closest(cornell, monkeypatch):
+    """The reversed shadow query (origin at the light, r4) must agree with
+    forward closest-hit occlusion over the same budget-1 segments —
+    exercised through any_hit_occlusion's cluster path in interpreter mode
+    via FORCE_CLUSTER_INTERPRET."""
+    from cge_tpu.ops import intersect
+
+    monkeypatch.setattr(intersect, "FORCE_CLUSTER_INTERPRET", True)
+    accel = intersect.build_accel(cornell)
+    o, d = _rays(cornell, 12)
+    tmax = jnp.full(o.shape[0], jnp.inf, jnp.float32)
+    ids = intersect.closest_hit(cornell, o, d, tmax, accel=accel)
+    hit = np.asarray(ids.hit)
+    dhat = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    tn = jnp.where(ids.hit, ids.t, 0.0) * jnp.linalg.norm(d, axis=-1)
+    p = o + dhat * (tn - 1e-5)[:, None]
+    light = jnp.asarray([0.0, 0.58, 0.0], jnp.float32)
+    sdir = light[None, :] - p
+    stm = jnp.where(ids.hit, 1.0, -1.0)
+    # forward truth via closest hit on the same segments
+    fwd = intersect.closest_hit(cornell, p, sdir, stm, accel=accel).hit
+    rev = intersect.any_hit_occlusion(
+        cornell, light[None, :] - (light[None, :] - p), light[None, :] - p,
+        stm, accel=accel)
+    # i.e. origin p, dir to light == the un-reversed call; now the
+    # production orientation (origin at the light):
+    rev2 = intersect.any_hit_occlusion(cornell, jnp.broadcast_to(
+        light[None, :], p.shape), p - light[None, :], stm, accel=accel)
+    np.testing.assert_array_equal(np.asarray(fwd)[hit],
+                                  np.asarray(rev)[hit])
+    np.testing.assert_array_equal(np.asarray(fwd)[hit],
+                                  np.asarray(rev2)[hit])

@@ -134,10 +134,11 @@ def sweep_stats(scene, cam):
     jig = jnp.float32(1e-7)
     r = f(o + jig, d, tmax)
     ms = device_ms(lambda i: f(o + jig * i, d, tmax)[0], n1=10, n2=30)
-    C = accel.tiles.shape[1]
+    resident = accel.tiles.shape[2] == 16    # field-major [L,16,C] when not
+    C = accel.tiles.shape[1] if resident else accel.tiles.shape[2]
     # each counted visit executes sc_n dense [C, BR] tiles: 1 on the
     # VMEM-resident layout, SUPERCLUSTER on the HBM/DMA layout (ADVICE r3)
-    sc_n = 1 if accel.tiles.shape[2] == 16 else SUPERCLUSTER
+    sc_n = 1 if resident else SUPERCLUSTER
     pairs = float(np.asarray(r[2], np.float64).sum()) * sc_n * C * DEFAULT_BR
     return dict(sweep_ms=ms, dense_pairs=pairs,
                 **sweep_roofline(pairs, 1, ms / 1e3))
@@ -201,6 +202,116 @@ def soft_workload(Features, RenderParams, Camera, render_image_u8,
     return dict(soft_u8_ms=round(ms, 2), soft_ref_ms=round(ref, 2),
                 soft_mrays_per_s=round(rays / ms / 1e3, 3),
                 soft_vs_ref=round(ref / ms, 3))
+
+
+# fallbacks = last measured on the round-5 driver host (2-core OpenMP);
+# refreshed whenever the oracle binary is available.
+EXTRA_WORKLOADS = {
+    # key: (scene, our-Features kwargs, oracle features csv, W, reps)
+    # transrec: the 2^depth folded TRANS+REC tree (render.cpp:106-132) on
+    # the transparency demo scene (cube.mtl d=0.452632). Its segment light
+    # contributes nothing without soft shadows (quirk #15) so the image is
+    # near-black, but both sides trace the full branching recursion.
+    "transrec": ("cube", dict(enable_shading=True, enable_recursive=True,
+                              enable_transparency=True,
+                              enable_hard_shadow=True),
+                 "shading,hard_shadow,recursive,transparency", 512, 2),
+    # glossy: the 40-sample cone fan-out (render.cpp:56-99). 256x256: the
+    # reference needs ~200 recursive traces per pixel here.
+    "glossy": ("cornell_box", dict(enable_shading=True, enable_recursive=True,
+                                   enable_hard_shadow=True,
+                                   enable_glossy_reflection=True),
+               "shading,hard_shadow,recursive,glossy", 256, 1),
+    # msaa: 3x3 jittered sub-pixel grid (render.cpp:211-227).
+    "msaa": ("cornell_box", dict(enable_shading=True, enable_hard_shadow=True,
+                                 enable_multiple_rays_per_pixel=True),
+             "shading,hard_shadow,msaa", 512, 2),
+    # dof: 5 disk-sampled origins per pixel (render.cpp:243-271).
+    "dof": ("cornell_box", dict(enable_shading=True, enable_hard_shadow=True,
+                                enable_depth_of_field=True),
+            "shading,hard_shadow,dof", 512, 2),
+    # softseg: the 25-sample stratified SEGMENT light path
+    # (light.cpp:19-26, 123-138) — the parallelogram bench can't see it.
+    "softseg": ("cube", dict(enable_shading=True, enable_soft_shadow=True),
+                "shading,soft_shadow", 512, 2),
+}
+LAST_EXTRA_REF_MS = {"transrec": 1493.0, "glossy": 17187.0, "msaa": 1243.0,
+                     "dof": 703.0, "softseg": 1791.0}
+
+
+def extra_workloads(Features, RenderParams, Camera, render_image_u8,
+                    load_scene_prebuilt, SceneType, deserialize_scene):
+    """VERDICT r4 items 5+6: per-workload device ms / Mrays/s / vs-ref for
+    the previously unbenched expensive paths."""
+    import numpy as np
+
+    from cge_tpu import prepare_render
+    from cge_tpu.utils.profiling import count_rays
+
+    out = {}
+    for key, (scene_name, fkw, ref_feats, res, reps) in \
+            EXTRA_WORKLOADS.items():
+        scene = load_scene_prebuilt(deserialize_scene(scene_name))
+        feats = Features(**fkw)
+        params = RenderParams()
+        cam = Camera()
+        ctx = prepare_render(scene, feats, params)
+        np.asarray(render_image_u8(scene, cam, feats, params, res, res,
+                                   0, ctx))
+        ms = device_ms(lambda s: render_image_u8(scene, cam, feats, params,
+                                                 res, res, s, ctx),
+                       n1=2, n2=6)
+        global W, H
+        saveW, saveH = W, H
+        try:
+            W = H = res
+            ref = reference_ms(scene_name, ref_feats,
+                               LAST_EXTRA_REF_MS.get(key, 0.0), reps=reps)
+        finally:
+            W, H = saveW, saveH
+        rays = count_rays(res, res, scene, feats, params)
+        out[f"{key}{res}_u8_ms"] = round(ms, 2)
+        out[f"{key}{res}_mrays_per_s"] = round(rays / ms / 1e3, 3)
+        out[f"{key}{res}_ref_ms"] = round(ref, 2)
+        out[f"{key}{res}_vs_ref"] = round(ref / ms, 3) if ref else 0.0
+    return out
+
+
+def multicam_workload(Features, RenderParams, Camera, render_image_u8,
+                      load_scene_prebuilt, SceneType):
+    """VERDICT r4 item 7: batched-camera regression guard. Renders 3
+    cameras through render_images on a scene with SPARSE light slots (the
+    parallelogram Cornell scene carries masked point/segment slots) and
+    compares per-camera cost against sequential render_image — under vmap
+    the masked-light lax.cond can degrade to select and re-run dead light
+    slots' full shadow sweeps."""
+    import numpy as np
+
+    from cge_tpu import prepare_render
+    from cge_tpu.render.renderer import render_images_u8, stack_cameras
+
+    scene = load_scene_prebuilt(SceneType.CornellBoxParallelogramLight)
+    feats = Features(enable_shading=True, enable_soft_shadow=True)
+    params = RenderParams()
+    import math
+    cams = [Camera(), Camera(rotation=(math.radians(25.0),
+                                       math.radians(15.0), 0.0)),
+            Camera(distance=2.5)]
+    ctx = prepare_render(scene, feats, params)
+    batch = stack_cameras(cams)
+    np.asarray(render_images_u8(scene, batch, feats, params, W, H, 0, ctx))
+    ms_batch = device_ms(
+        lambda s: render_images_u8(scene, batch, feats, params, W, H, s,
+                                   ctx), n1=2, n2=6)
+
+    def seq(s):
+        return [render_image_u8(scene, c, feats, params, W, H, s, ctx)
+                for c in cams]
+
+    np.asarray(seq(0)[-1])
+    ms_seq = device_ms(lambda s: seq(s)[-1], n1=2, n2=6)
+    return dict(multicam_batch_per_cam_ms=round(ms_batch / len(cams), 2),
+                multicam_seq_per_cam_ms=round(ms_seq / len(cams), 2))
 
 
 def main():
@@ -278,6 +389,21 @@ def main():
                                     SceneType))
     except Exception as e:
         record["soft_error"] = repr(e)[:120]
+    if not os.environ.get("CGE_BENCH_FAST"):
+        from cge_tpu.scene.scene import deserialize_scene_type
+        try:
+            record.update(extra_workloads(Features, RenderParams, Camera,
+                                          render_image_u8,
+                                          load_scene_prebuilt, SceneType,
+                                          deserialize_scene_type))
+        except Exception as e:
+            record["extra_error"] = repr(e)[:120]
+        try:
+            record.update(multicam_workload(Features, RenderParams, Camera,
+                                            render_image_u8,
+                                            load_scene_prebuilt, SceneType))
+        except Exception as e:
+            record["multicam_error"] = repr(e)[:120]
     print(json.dumps(record))
 
 

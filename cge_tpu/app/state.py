@@ -339,10 +339,15 @@ class AppState:
         conservatively rebuild (tables don't depend on lights, but the
         rebuild is cheap next to a frame)."""
         from cge_tpu.render.renderer import prepare_render
-        key = (id(self.scene), self.features, self.params)
-        if getattr(self, "_ctx_key", None) != key:
+        # identity via a STRONG reference, not id(): a freed scene object's
+        # address can be reused by a new scene, matching a stale id key and
+        # rendering with the previous scene's accel tables (ADVICE r4)
+        key = (self.features, self.params)
+        if getattr(self, "_ctx_scene", None) is not self.scene \
+                or getattr(self, "_ctx_key", None) != key:
             self._ctx = prepare_render(self.scene, self.features,
                                        self.params)
+            self._ctx_scene = self.scene
             self._ctx_key = key
         return self._ctx
 

@@ -476,7 +476,20 @@ static void clusterRec(const float* centers, std::vector<int>& ids, int lo,
             best = mx[a] - mn[a];
             axis = a;
         }
-    int mid = lo + n / 2;
+    // split at the cluster-size multiple nearest the median so every left
+    // descendant fills its cluster completely: a pure median split leaves
+    // every cluster at n / 2^ceil(log2(n/cs)) occupancy (59% on the 614k
+    // dragon — 41% of all dense-tile intersection work spent on pad rows,
+    // measured r5). Nudging the split by < cluster_size keeps the spatial
+    // partition essentially identical.
+    int half = n / 2;
+    int mid_off = (half + cluster_size / 2) / cluster_size * cluster_size;
+    if (mid_off < cluster_size)
+        mid_off = cluster_size;
+    int max_off = (n - 1) / cluster_size * cluster_size;
+    if (mid_off > max_off)
+        mid_off = max_off;
+    int mid = lo + mid_off;
     std::nth_element(ids.begin() + lo, ids.begin() + mid, ids.begin() + hi,
                      [&](int a, int b) {
                          return centers[3 * a + axis] < centers[3 * b + axis];

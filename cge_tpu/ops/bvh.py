@@ -312,7 +312,14 @@ def build_clusters(vertices, tris, tri_mask,
             return
         c = centers[positions]
         axis = int(np.argmax(c.max(axis=0) - c.min(axis=0)))
-        mid = len(positions) // 2
+        # split at the cluster-size multiple nearest the median so every
+        # left descendant fills its cluster completely (pure median leaves
+        # ~59% occupancy at dragon scale — 41% of dense-tile work on pad
+        # rows); mirrors the native builder's rule exactly
+        n = len(positions)
+        mid = (n // 2 + cluster_size // 2) // cluster_size * cluster_size
+        mid = max(cluster_size, min(mid, (n - 1) // cluster_size
+                                    * cluster_size))
         part = np.argpartition(c[:, axis], mid)
         rec_split(positions[part[:mid]])
         rec_split(positions[part[mid:]])

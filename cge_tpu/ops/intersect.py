@@ -154,9 +154,9 @@ class Accel(NamedTuple):
 
     perm: jax.Array   # [L, C] i32 triangle ids, -1 pad
     aabbs: jax.Array  # [L, 8] f32 cluster AABBs (lo3, hi3, pad2)
-    tiles: jax.Array  # [L, C, 16|128] f32, the 16 packed fields on the lane
-    #                   axis (128-padded for the HBM layout) — see
-    #                   pack_cluster_tiles
+    tiles: jax.Array  # f32 packed triangle constants: triangle-major
+    #                   [L, C, 16] (VMEM-resident) or field-major
+    #                   [L, 16, C] (HBM/DMA) — see pack_cluster_tiles
 
 
 def build_accel(scene) -> Accel:
@@ -297,24 +297,15 @@ def closest_hit(scene, o, d, tmax, tri_tile: int = 512,
         # with an all_gather + tie-aware reduce over ICI. Exact-t ties
         # resolve to the largest global perm slot — the same documented
         # divergence class as the single-device kernel's visit-order ties.
-        from cge_tpu.ops.pallas.cluster_sweep import (_INVALID_ROW, FLT_MAX,
+        from cge_tpu.ops.pallas.cluster_sweep import (pad_cluster_stack,
                                                       pallas_cluster_tris)
         L, C = accel.perm.shape
-        Wt = accel.tiles.shape[2]
         P = prims_axis_size
         Lp = -(-L // P) * P
         aabbs, tiles, permc = accel.aabbs, accel.tiles, accel.perm
         if Lp != L:
             padL = Lp - L
-            pad_box = jnp.concatenate([
-                jnp.full((padL, 3), FLT_MAX, jnp.float32),
-                jnp.full((padL, 3), -FLT_MAX, jnp.float32),
-                jnp.zeros((padL, 2), jnp.float32)], axis=1)
-            aabbs = jnp.concatenate([aabbs, pad_box], axis=0)
-            inval = jnp.pad(jnp.asarray(_INVALID_ROW, jnp.float32),
-                            (0, Wt - 16))
-            tiles = jnp.concatenate(
-                [tiles, jnp.broadcast_to(inval, (padL, C, Wt))], axis=0)
+            aabbs, tiles = pad_cluster_stack(aabbs, tiles, padL)
             permc = jnp.concatenate(
                 [permc, jnp.full((padL, C), -1, jnp.int32)], axis=0)
         shard = Lp // P
@@ -410,17 +401,29 @@ def closest_hit_chunked(scene, o, d, tmax, ray_chunk: int = 2048,
 
 
 def any_hit_occlusion(scene, o, d, tmax, accel: Accel | None = None,
-                      br: int = 512, exact_keys: bool = True):
+                      br: int = 512, exact_keys: bool = True,
+                      tri_rays=None):
     """Occlusion query: True where *any* primitive blocks the ray within its
     t budget (light.cpp:60-63 when transparency is off — the caller only
     needs existence, not which blocker). On TPU with an accel this runs the
     Pallas any-hit kernel, where a blocked ray prunes all remaining clusters;
-    elsewhere it falls back to closest-hit."""
+    elsewhere it falls back to closest-hit.
+
+    tri_rays: optional (o2, d2) alternative parameterization of the SAME
+    segments, used only for the triangle cluster sweep. The shadow path
+    passes the reversed budget-1 query (origin at the light sample — gives
+    every ray block a tight origin hull, measured 22% faster, PERF_r04.md).
+    Triangle acceptance (plane t in [0, budget] + point-in-triangle) is
+    invariant under that reversal, but the sphere quadratic's a==1 quirk
+    (unnormalized |d|) is NOT — e.g. a sphere just beyond the light can
+    block forward yet clear reversed (ADVICE r4) — so spheres and every
+    fallback path always test the forward (o, d)."""
     sg = jax.lax.stop_gradient
     o, d, tmax = sg(o), sg(d), sg(tmax)
     if _cluster_active(accel):
         from cge_tpu.ops.pallas.cluster_sweep import pallas_cluster_tris
-        tri_hit, _ = pallas_cluster_tris(o, d, tmax, accel.aabbs,
+        to, td = (sg(tri_rays[0]), sg(tri_rays[1])) if tri_rays else (o, d)
+        tri_hit, _ = pallas_cluster_tris(to, td, tmax, accel.aabbs,
                                          accel.tiles, accel.perm,
                                          br=br, exact_keys=exact_keys,
                                          any_hit=True,

@@ -19,10 +19,14 @@ traversal splits into stages that each play to an engine's strength:
      work with rays on the lane axis.
 
 Scale story: small scenes keep the whole packed tile stack VMEM-resident
-(zero streaming); big scenes leave it in HBM (lane-padded so supercluster
-slices are DMA-alignable) and double-buffer-DMA only *visited*
-superclusters, so scene size is bounded by HBM and per-block work by the
-plausible set.
+(zero streaming); big scenes leave it in HBM packed FIELD-major per
+cluster ([L, 16, C]: dense 128-lane rows, streamed bytes == useful bytes)
+and double-buffer-DMA only *visited* superclusters, so scene size is
+bounded by HBM and per-block work by the plausible set. The dense tile
+un-transposes each visited cluster's [16, C] block in-register. (r4
+lane-padded each triangle row to 128 instead — 8x the DMA bytes; Mosaic
+rejects DMA into sub-128-lane VMEM blocks, which is what forced a padded
+layout before the field-major repack.)
 
 The 16 packed fields are plane + edge-plane constants (n, D, then
 m_i = cross(n, edge_i), b_i = dot(m_i, v_i)): the reference's
@@ -74,10 +78,14 @@ def pack_cluster_tiles(vertices, tris, perm, hbm: bool | None = None):
 
     perm: [L, C] int32 triangle ids (-1 = pad). Returns:
       aabbs [L, 8] f32 — lanes 0:3 cluster AABB lower, 3:6 upper, 2 pad;
-      tiles [L, C, W] f32 — per-triangle constants in lanes 0:16
-        (nx, ny, nz, D, m0, b0, m1, b1, m2, b2 with m_i 3-wide); W = 16
-        for the VMEM-resident layout, 128 (lane-padded, DMA-alignable
-        supercluster slices) when the stack will live in HBM.
+      tiles — per-triangle constants (nx, ny, nz, D, m0, b0, m1, b1, m2,
+        b2 with m_i 3-wide): [L, C, 16] triangle-major for the
+        VMEM-resident layout; [L, 16, C] FIELD-major (field k's row spans
+        the cluster's C triangles on the lane axis — fully dense 128-lane
+        rows, so streamed DMA bytes == useful bytes) when the stack will
+        live in HBM. r4 lane-padded each triangle row to 128 instead,
+        moving 8x the useful bytes per supercluster DMA (VERDICT r4); the
+        dense tile un-transposes the field-major block in-register.
     Invalid (pad) triangles get all-zero constants with b_i = 1, which makes
     every edge test fail (s_i = -1 < 0) — no separate valid lane needed.
 
@@ -111,7 +119,7 @@ def pack_cluster_tiles(vertices, tris, perm, hbm: bool | None = None):
     inval = jnp.asarray(_INVALID_ROW, jnp.float32)
     tri_rows = jnp.where(valid[..., None], tri_rows, inval)
     if hbm:
-        tri_rows = jnp.pad(tri_rows, ((0, 0), (0, 0), (0, 112)))
+        tri_rows = tri_rows.transpose(0, 2, 1)      # field-major [L, 16, C]
 
     # cluster AABBs over valid triangles; empty clusters land at +inf lower,
     # -inf upper (slab entry t = +inf => never visited, unions ignore them)
@@ -121,6 +129,25 @@ def pack_cluster_tiles(vertices, tris, perm, hbm: bool | None = None):
     hi = small.max(axis=(1, 2))
     aabbs = jnp.concatenate([lo, hi, jnp.zeros((L, 2))], axis=1)  # [L, 8]
     return aabbs.astype(jnp.float32), tri_rows.astype(jnp.float32)
+
+
+def pad_cluster_stack(aabbs, tiles, padL):
+    """Append padL EMPTY clusters to a packed stack (slab entry +inf so
+    they are never visited; all-invalid triangle rows as belt-and-braces).
+    Handles both tile layouts: triangle-major [L, C, 16] (VMEM-resident)
+    and field-major [L, 16, C] (HBM/DMA)."""
+    pad_box = jnp.concatenate([
+        jnp.full((padL, 3), FLT_MAX, jnp.float32),
+        jnp.full((padL, 3), -FLT_MAX, jnp.float32),
+        jnp.zeros((padL, 2), jnp.float32)], axis=1)
+    aabbs = jnp.concatenate([aabbs, pad_box], axis=0)
+    inval = jnp.asarray(_INVALID_ROW, jnp.float32)
+    if tiles.shape[2] == 16:                              # triangle-major
+        pad_t = jnp.broadcast_to(inval, (padL,) + tiles.shape[1:])
+    else:                                                 # field-major
+        pad_t = jnp.broadcast_to(inval[:, None], (padL,) + tiles.shape[1:])
+    tiles = jnp.concatenate([tiles, pad_t], axis=0)
+    return aabbs, tiles
 
 
 def _entry_slab(rays, lo_cols, hi_cols):
@@ -370,7 +397,11 @@ def _cluster_kernel(order_ref, skey_ref, ray_ref, aabb_ref, tile_ref,
         if resident:
             tri = tile_ref[pl.ds(cl, 1), :, :][0]     # [C, 16]
         else:
-            tri = buf_ref[slot, m]                    # [C, 128] (lanes 0:16)
+            # the DMA block is FIELD-major [16, C] (dense 128-lane rows;
+            # streamed bytes == useful bytes) — one in-register transpose
+            # per visited cluster recovers the triangle-major [C, 16]
+            # orientation the tile math broadcasts from
+            tri = buf_ref[slot, m].T
 
         def col(k):
             return tri[:, k:k + 1]                    # [C, 1]
@@ -500,8 +531,9 @@ def pallas_cluster_tris(o, d, tmax, aabbs, tiles, perm, br=DEFAULT_BR,
     """Cluster-accelerated triangle sweep.
 
     o, d: [R, 3]; tmax: [R] per-ray budget (-1 = dead ray);
-    aabbs [L, 8], tiles [L, C, 16|128]: from pack_cluster_tiles (the lane
-    width selects VMEM-resident vs HBM+DMA traversal); perm: [L, C].
+    aabbs [L, 8], tiles: from pack_cluster_tiles — triangle-major
+    [L, C, 16] selects VMEM-resident traversal, field-major [L, 16, C]
+    selects HBM+DMA streaming; perm: [L, C].
 
     closest mode: returns (best_t [R], best_idx [R] — *scene* triangle ids,
     -1 on miss).  any_hit mode: returns (hit [R] bool, hit [R] bool) — no
@@ -517,8 +549,10 @@ def pallas_cluster_tris(o, d, tmax, aabbs, tiles, perm, br=DEFAULT_BR,
     (cge_tpu.render.wavefront.pack_attr_table(tri_ids=...)).
     """
     R = o.shape[0]
-    L, C, W = tiles.shape
-    resident = W == 16
+    L = tiles.shape[0]
+    resident = tiles.shape[2] == 16          # triangle-major [L, C, 16]
+    C = tiles.shape[1] if resident else tiles.shape[2]
+    assert C == perm.shape[1], (tiles.shape, perm.shape)
     if mxu is None:
         mxu = False       # pending measurement; see tools/tune_mxu.py
     mxu = mxu and resident and not interpret
@@ -535,15 +569,7 @@ def pallas_cluster_tris(o, d, tmax, aabbs, tiles, perm, br=DEFAULT_BR,
     n_sc = -(-L // sc_n)
     padL = n_sc * sc_n - L
     if padL:
-        # empty clusters: slab entry +inf, never refined into a dense tile
-        pad_row = jnp.concatenate([
-            jnp.full((padL, 3), FLT_MAX, jnp.float32),
-            jnp.full((padL, 3), -FLT_MAX, jnp.float32),
-            jnp.zeros((padL, 2), jnp.float32)], axis=1)
-        aabbs = jnp.concatenate([aabbs, pad_row], axis=0)
-        inval = jnp.pad(jnp.asarray(_INVALID_ROW, jnp.float32), (0, W - 16))
-        tiles = jnp.concatenate(
-            [tiles, jnp.broadcast_to(inval, (padL, C, W))], axis=0)
+        aabbs, tiles = pad_cluster_stack(aabbs, tiles, padL)
     Lp = n_sc * sc_n
 
     # supercluster AABBs: union of member boxes (empty members are
@@ -575,9 +601,15 @@ def pallas_cluster_tris(o, d, tmax, aabbs, tiles, perm, br=DEFAULT_BR,
     tfar_s = jnp.min(jnp.maximum(t1, t2), axis=1)
     # small relative inflation: boundary triangles lie ON the union box, and
     # the slab division can round exit an ulp below the triangle t computed
-    # via the plane equation — stay conservative, keep the bound exact
-    exit_t = jnp.where((tnear_s <= tfar_s) & (tfar_s >= 0),
-                       tfar_s * 1.0001 + 1e-6, -jnp.inf)
+    # via the plane equation — stay conservative, keep the bound exact.
+    # The validity test carries the same tolerance (ADVICE r4): a ray
+    # grazing an edge/corner of the union box while hitting a boundary
+    # triangle can get a rounding-INVERTED slab interval, and without the
+    # epsilon its exit would be -inf — letting its block early-stop past
+    # the cluster holding the real hit.
+    exit_pad = jnp.abs(tfar_s) * 1e-4 + 1e-6
+    exit_t = jnp.where((tnear_s <= tfar_s + exit_pad) & (tfar_s >= -exit_pad),
+                       tfar_s + exit_pad, -jnp.inf)
 
     rays = jnp.stack([
         pad_r(o[:, 0]), pad_r(o[:, 1]), pad_r(o[:, 2]),
@@ -645,7 +677,7 @@ def pallas_cluster_tris(o, d, tmax, aabbs, tiles, perm, br=DEFAULT_BR,
             jax.ShapeDtypeStruct((n_ray_blocks, 8, br), jnp.int32),
         ),
         scratch_shapes=[
-            pltpu.VMEM((1, 1, 8, 128) if resident else (2, sc_n, C, 128),
+            pltpu.VMEM((1, 1, 8, 128) if resident else (2, sc_n, 16, C),
                        jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],

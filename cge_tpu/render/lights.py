@@ -53,15 +53,19 @@ def shadow_visibility(scene, ray_o, ray_d, ray_t, sample_pos, features,
     if not features.enable_transparency and accel is not None \
             and params.prims_axis is None:
         # only existence of a blocker matters (light.cpp:60-63): the any-hit
-        # kernel lets a blocked ray prune all remaining clusters. The query
-        # runs REVERSED — origin at the light sample, direction toward the
-        # hit point — which covers the same [p, sample] segment (t' = 1-t,
-        # same budget-1 acceptance set) but gives every block a tight
-        # origin hull at the light: measured 22% faster on the teapot
-        # shadow batch with a bit-identical blocked set (PERF_r04.md).
-        blocked = any_hit_occlusion(scene, sample_pos, p - sample_pos, tmax,
+        # kernel lets a blocked ray prune all remaining clusters. The
+        # TRIANGLE sweep runs REVERSED — origin at the light sample,
+        # direction toward the hit point — which covers the same [p, sample]
+        # segment (t' = 1-t, same budget-1 acceptance set for the plane-t
+        # test) but gives every block a tight origin hull at the light:
+        # measured 22% faster on the teapot shadow batch with a
+        # bit-identical blocked set (PERF_r04.md). Spheres test the forward
+        # rays inside any_hit_occlusion: their a==1 quadratic quirk is not
+        # reversal-invariant (ADVICE r4).
+        blocked = any_hit_occlusion(scene, p, sdir, tmax,
                                     accel=accel, br=params.sweep_br,
-                                    exact_keys=params.sweep_anyhit_exact_keys)
+                                    exact_keys=params.sweep_anyhit_exact_keys,
+                                    tri_rays=(sample_pos, p - sample_pos))
         return jnp.where(blocked, 0.0, 1.0)
     res = closest_hit_chunked(scene, p, sdir, tmax,
                               params.ray_tile, params.tri_tile,

@@ -231,6 +231,20 @@ def render_images(scene, cameras: Camera, features: Features,
 @functools.partial(
     jax.jit,
     static_argnames=("features", "params", "width", "height"))
+def render_images_u8(scene, cameras: Camera, features: Features,
+                     params: RenderParams, width: int, height: int, seed=0,
+                     ctx: Optional[RenderContext] = None):
+    """render_images, quantized on device like render_image_u8:
+    [C, H, W, 3] u8."""
+    imgs = render_images.__wrapped__(scene, cameras, features, params,
+                                     width, height, seed, ctx)
+    imgs = jnp.nan_to_num(imgs)
+    return (jnp.clip(imgs, 0.0, 1.0) * 255.0).astype(jnp.uint8)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("features", "params", "width", "height"))
 def render_image_u8(scene, camera: Camera, features: Features,
                     params: RenderParams, width: int, height: int, seed=0,
                     ctx: Optional[RenderContext] = None):

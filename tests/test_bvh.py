@@ -175,7 +175,7 @@ def test_cluster_sweep_shared_origin(cornell):
 
 
 def test_cluster_sweep_hbm_layout_matches_resident(cornell):
-    """The HBM (lane-padded, DMA-streamed) traversal must agree with the
+    """The HBM (field-major, DMA-streamed) traversal must agree with the
     VMEM-resident layout exactly."""
     o, d = _rays(cornell, 16)
     tmax = jnp.full(o.shape[0], jnp.inf, jnp.float32)
@@ -185,7 +185,8 @@ def test_cluster_sweep_hbm_layout_matches_resident(cornell):
                                           perm, hbm=False)
     _, tiles_hbm = pack_cluster_tiles(cornell.vertices, cornell.tris,
                                       perm, hbm=True)
-    assert tiles_res.shape[2] == 16 and tiles_hbm.shape[2] == 128
+    C = perm.shape[1]
+    assert tiles_res.shape[1:] == (C, 16) and tiles_hbm.shape[1:] == (16, C)
     t0, i0 = pallas_cluster_tris(o, d, tmax, aabbs, tiles_res, perm, br=128,
                                  interpret=True)
     t1, i1 = pallas_cluster_tris(o, d, tmax, aabbs, tiles_hbm, perm, br=128,
@@ -226,10 +227,10 @@ def test_cluster_sweep_exit_bound_boundary_hit():
 
 
 def test_any_hit_occlusion_reversed_matches_closest(cornell, monkeypatch):
-    """The reversed shadow query (origin at the light, r4) must agree with
-    forward closest-hit occlusion over the same budget-1 segments —
-    exercised through any_hit_occlusion's cluster path in interpreter mode
-    via FORCE_CLUSTER_INTERPRET."""
+    """The reversed TRIANGLE shadow sweep (origin at the light, r4,
+    requested via tri_rays) must agree with forward closest-hit occlusion
+    over the same budget-1 segments — exercised through any_hit_occlusion's
+    cluster path in interpreter mode via FORCE_CLUSTER_INTERPRET."""
     from cge_tpu.ops import intersect
 
     monkeypatch.setattr(intersect, "FORCE_CLUSTER_INTERPRET", True)
@@ -246,14 +247,53 @@ def test_any_hit_occlusion_reversed_matches_closest(cornell, monkeypatch):
     stm = jnp.where(ids.hit, 1.0, -1.0)
     # forward truth via closest hit on the same segments
     fwd = intersect.closest_hit(cornell, p, sdir, stm, accel=accel).hit
+    plain = intersect.any_hit_occlusion(cornell, p, sdir, stm, accel=accel)
+    # the production shadow-path orientation: forward rays + the reversed
+    # triangle parameterization (cge_tpu.render.lights.shadow_visibility)
     rev = intersect.any_hit_occlusion(
-        cornell, light[None, :] - (light[None, :] - p), light[None, :] - p,
-        stm, accel=accel)
-    # i.e. origin p, dir to light == the un-reversed call; now the
-    # production orientation (origin at the light):
-    rev2 = intersect.any_hit_occlusion(cornell, jnp.broadcast_to(
-        light[None, :], p.shape), p - light[None, :], stm, accel=accel)
+        cornell, p, sdir, stm, accel=accel,
+        tri_rays=(jnp.broadcast_to(light[None, :], p.shape),
+                  p - light[None, :]))
+    np.testing.assert_array_equal(np.asarray(fwd)[hit],
+                                  np.asarray(plain)[hit])
     np.testing.assert_array_equal(np.asarray(fwd)[hit],
                                   np.asarray(rev)[hit])
-    np.testing.assert_array_equal(np.asarray(fwd)[hit],
-                                  np.asarray(rev2)[hit])
+
+
+def test_any_hit_occlusion_sphere_not_reversed(monkeypatch):
+    """ADVICE r4 (high): the sphere occlusion test is NOT invariant under
+    ray reversal — the a==1 quadratic quirk (unnormalized |d|, mirroring
+    the prebuilt kernel the reference links) produces direction-dependent
+    fake roots. Constructed case: p at the origin, light sample 2 units
+    away, a r=1.5 sphere centered 4 units out. Forward (reference
+    semantics) the fake root DL^2 - sqrt(r^2 + D^2 L^4 - D^2 L^2)
+    = 8 - sqrt(50.25) ~ 0.91 < 1 => BLOCKED, even though the segment never
+    touches the sphere; reversed, both fake roots are negative => visible.
+    any_hit_occlusion with tri_rays reversed must still block (spheres
+    always test the forward rays)."""
+    import dataclasses
+
+    from cge_tpu.ops import intersect
+
+    monkeypatch.setattr(intersect, "FORCE_CLUSTER_INTERPRET", True)
+    base = load_scene_prebuilt(SceneType.CornellBox)
+    S = base.sph_center.shape[0]
+    scene = dataclasses.replace(
+        base,
+        sph_center=jnp.zeros((S, 3), jnp.float32)
+        .at[0].set(jnp.asarray([0.0, 5.0, 4.0])),
+        sph_radius=jnp.zeros((S,), jnp.float32).at[0].set(1.5),
+        sph_mask=jnp.zeros((S,), bool).at[0].set(True))
+    accel = intersect.build_accel(scene)
+    # the segment sits at y = 5, well clear of the (unit-normalized)
+    # Cornell geometry, so only the sphere can decide the query
+    p = jnp.asarray([[0.0, 5.0, 0.0]], jnp.float32)
+    light = jnp.asarray([[0.0, 5.0, 2.0]], jnp.float32)
+    stm = jnp.ones(1, jnp.float32)
+    # forward reference truth: the quirky closest-hit blocks
+    fwd = intersect.closest_hit(scene, p, light - p, stm, accel=accel)
+    assert bool(np.asarray(fwd.hit)[0]) and bool(np.asarray(fwd.is_sphere)[0])
+    blocked = intersect.any_hit_occlusion(
+        scene, p, light - p, stm, accel=accel, tri_rays=(light, p - light))
+    assert bool(np.asarray(blocked)[0]), \
+        "sphere occlusion must use the forward parameterization"

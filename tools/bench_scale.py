@@ -86,7 +86,7 @@ def main():
         "metric": "scale_closest_hit_rays_per_s",
         "tris": int(T.shape[0]),
         "clusters": int(perm.shape[0]),
-        "hbm_resident": bool(tiles.shape[2] == 128),
+        "hbm_streamed": bool(tiles.shape[2] != 16),
         "cluster_build_ms": round(build_ms, 1),
         "value": round(o.shape[0] / dt),
         "unit": "rays/s",

@@ -41,6 +41,12 @@ int main(int argc, char** argv)
     features.enableTextureMapping = has("texture");
     features.enableAccelStructure = has("accel");
     features.extra.enableBvhSahBinning = has("sah");
+    features.extra.enableTransparency = has("transparency");
+    features.extra.enableGlossyReflection = has("glossy");
+    features.extra.enableMultipleRaysPerPixel = has("msaa");
+    features.extra.enableDepthOfField = has("dof");
+    features.extra.enableBloomEffect = has("bloom");
+    features.extra.enableBilinearTextureFiltering = has("bilinear");
 
     Scene scene;
     if (sceneName.size() > 4

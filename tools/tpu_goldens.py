@@ -12,6 +12,7 @@ Usage: PYTHONPATH=. python tools/tpu_goldens.py [extra pytest args]
 Exit code is pytest's — nonzero on any mismatch or on an unexpected skip.
 """
 import os
+import re
 import subprocess
 import sys
 
@@ -35,9 +36,17 @@ def main() -> int:
     if proc.returncode != 0:
         return proc.returncode
     # a silent skip (missing golden, backend fell back to CPU) must not
-    # read as a pass — that was exactly round 3's blind spot
-    if "skipped" in proc.stdout.split("\n")[-2].lower():
-        print("FAIL: TPU goldens skipped instead of running", file=sys.stderr)
+    # read as a pass — that was exactly round 3's blind spot. Parse counts
+    # from the WHOLE output, not a fixed summary-line position (warnings
+    # summaries / plugins shift it, ADVICE r4), and demand that every
+    # listed case actually PASSED.
+    m_skip = re.search(r"(\d+) skipped", proc.stdout)
+    m_pass = re.search(r"(\d+) passed", proc.stdout)
+    n_pass = int(m_pass.group(1)) if m_pass else 0
+    if m_skip or n_pass != len(CASES):
+        print(f"FAIL: TPU goldens must run all {len(CASES)} cases "
+              f"(passed={n_pass}, skipped={m_skip.group(1) if m_skip else 0})",
+              file=sys.stderr)
         return 3
     return 0
 

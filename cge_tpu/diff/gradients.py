@@ -46,14 +46,17 @@ def with_params(scene, params: dict):
 
 
 def render_loss(params, scene, rays_o, rays_d, target, features,
-                render_params, key):
+                render_params, key, ray_ids=None):
     """Mean-squared error of traced radiance vs target, over a ray batch.
 
     NaN radiance (the reference's pow-quirk pixels, cge_tpu.ops.shading)
     is mapped to 0 — the same value the image writer emits for them — so
-    the loss stays finite and those pixels contribute zero gradient."""
+    the loss stays finite and those pixels contribute zero gradient.
+    ray_ids: global ids keying the stochastic streams (sharded callers pass
+    their shard's global slice so samples match the unsharded trace)."""
     s = with_params(scene, params)
-    col = trace(s, rays_o, rays_d, features, render_params, key)
+    col = trace(s, rays_o, rays_d, features, render_params, key,
+                ray_ids=ray_ids)
     col = jnp.nan_to_num(col)
     return jnp.mean((col - target) ** 2)
 

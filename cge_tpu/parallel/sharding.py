@@ -78,8 +78,15 @@ def trace_sharded(scene, o, d, features: Features, params: RenderParams,
         out_specs=spec_rays,
         check_vma=False)
     def run(scene_rep, o_l, d_l, key_l):
-        k = jax.random.fold_in(key_l, jax.lax.axis_index("rays"))
-        return trace(scene_rep, o_l, d_l, features, params, k)
+        # stochastic streams are keyed by GLOBAL ray id (r5), so the
+        # sharded trace draws exactly the single-device samples — sharded
+        # renders are bit-identical to unsharded for EVERY feature set,
+        # not just the deterministic ones
+        nl = o_l.shape[0]
+        ids = (jax.lax.axis_index("rays") * nl
+               + jnp.arange(nl, dtype=jnp.int32))
+        return trace(scene_rep, o_l, d_l, features, params, key_l,
+                     ray_ids=ids)
 
     col = run(scene, o_p, d_p, key)
     return col[:n]
@@ -121,9 +128,14 @@ def train_step_sharded(scene, o, d, target, features: Features,
         out_specs=(P(), P()),
         check_vma=False)
     def step(p, scene_rep, o_l, d_l, target_l, key_l):
-        k = jax.random.fold_in(key_l, jax.lax.axis_index("rays"))
+        # global ray ids key the stochastic streams (r5): every shard draws
+        # the samples the single-device trace would, so sharded loss/grads
+        # equal single-device for every feature set
+        nl = o_l.shape[0]
+        ids = (jax.lax.axis_index("rays") * nl
+               + jnp.arange(nl, dtype=jnp.int32))
         loss, grads = jax.value_and_grad(render_loss)(
-            p, scene_rep, o_l, d_l, target_l, features, params, k)
+            p, scene_rep, o_l, d_l, target_l, features, params, key_l, ids)
         # all-reduce over the whole mesh: mean over ray shards, and psum
         # over prims (each prims-shard computed identical full-batch grads
         # from its partial sweep + all_gather, so mean there too)

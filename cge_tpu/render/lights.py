@@ -14,7 +14,11 @@ Mirrors /root/reference/src/light.cpp:
     samples.
 
 Stochastic jitter uses deterministic threefry keys (documented divergence
-from the reference's irreproducible rand()/mt19937 — SURVEY.md §2.5 #14).
+from the reference's irreproducible rand()/mt19937 — SURVEY.md §2.5 #14),
+folded PER RAY by global ray id (r5): the samples a ray draws depend only
+on (seed, level, light, ray id), so renders are bit-identical across
+chunk sizes, shardings and batch layouts — which is what lets the sharded
+train step assert grads == single-device for the stochastic features.
 """
 
 from __future__ import annotations
@@ -28,6 +32,14 @@ from cge_tpu.ops.shading import compute_shading
 
 def _norm(v):
     return jnp.linalg.norm(v, axis=-1, keepdims=True)
+
+
+def per_ray_uniform(key, ray_ids, shape):
+    """U[0,1) samples from per-ray threefry streams keyed by GLOBAL ray id
+    (the SURVEY §7 'per-pixel fold-in'). ray_ids: [N] i32. Returns
+    [N, *shape]; invariant to how the ray batch is chunked or sharded."""
+    ks = jax.vmap(lambda i: jax.random.fold_in(key, i))(ray_ids)
+    return jax.vmap(lambda kk: jax.random.uniform(kk, shape))(ks)
 
 
 def shadow_visibility(scene, ray_o, ray_d, ray_t, sample_pos, features,
@@ -102,15 +114,20 @@ def sample_parallelogram_light(v0, e01, e02, c0, c1, c2, c3,
 
 
 def light_contribution(scene, ray_o, ray_d, ray_t, normal, kd, ks, shininess,
-                       features, params, key, alive=None, accel=None):
+                       features, params, key, alive=None, accel=None,
+                       ray_ids=None):
     """computeLightContribution (light.cpp:108-165), batched over rays [N].
 
     Returns radiance [N, 3]. Caller guards the hit mask; `alive` additionally
     masks the shadow sweeps (dead rays cost nothing in the cluster kernel).
+    ray_ids: [N] global ray ids keying the per-ray stochastic streams
+    (None = arange — correct for unchunked, unsharded batches).
     """
     N = ray_o.shape[0]
     if not features.enable_shading:
         return kd  # light.cpp:161-164
+    if ray_ids is None:
+        ray_ids = jnp.arange(N, dtype=jnp.int32)
 
     result = jnp.zeros((N, 3), jnp.float32)
 
@@ -150,7 +167,7 @@ def light_contribution(scene, ray_o, ray_d, ray_t, normal, kd, ks, shininess,
         for li in range(LS):
             def seg_body(li=li):
                 k = jax.random.fold_in(key, 1000 + li)
-                r = jax.random.uniform(k, (N, SS))
+                r = per_ray_uniform(k, ray_ids, (SS,))
                 idx = jnp.arange(SS, dtype=jnp.float32)[None, :]
                 pos, col = sample_segment_light(
                     scene.seg_p0[li], scene.seg_p1[li],
@@ -179,8 +196,10 @@ def light_contribution(scene, ray_o, ray_d, ray_t, normal, kd, ks, shininess,
         for li in range(LQ):
             def par_body(li=li):
                 k = jax.random.fold_in(key, 2000 + li)
-                r1 = jax.random.uniform(jax.random.fold_in(k, 0), (N, PS, PS))
-                r2 = jax.random.uniform(jax.random.fold_in(k, 1), (N, PS, PS))
+                r1 = per_ray_uniform(jax.random.fold_in(k, 0), ray_ids,
+                                     (PS, PS))
+                r2 = per_ray_uniform(jax.random.fold_in(k, 1), ray_ids,
+                                     (PS, PS))
                 hi = jnp.arange(PS, dtype=jnp.float32)[None, :, None]
                 vi = jnp.arange(PS, dtype=jnp.float32)[None, None, :]
                 pos, col = sample_parallelogram_light(

@@ -72,9 +72,9 @@ def _trace_rays(scene, o, d, features, params, key,
     # Chunk big wavefronts through one compiled trace body (lax.map): XLA
     # compile time and VMEM footprint stay bounded by the chunk shape
     # instead of growing with resolution. The packed cluster tiles are
-    # built once and shared across chunks. Chunking changes the threefry
-    # stream of the stochastic features (keys fold in the chunk index) —
-    # same distribution, different samples.
+    # built once and shared across chunks. Stochastic streams are keyed by
+    # GLOBAL ray id (r5, cge_tpu.render.lights.per_ray_uniform), so chunked
+    # and unchunked renders draw bit-identical samples.
     if accel is None:
         accel = scene_accel(scene, features)
     pad = (-N) % C
@@ -83,14 +83,15 @@ def _trace_rays(scene, o, d, features, params, key,
     d_p = jnp.pad(d, ((0, pad), (0, 0)),
                   constant_values=0.0).at[N:, 2].set(1.0)
     nc = (N + pad) // C
+    ids = jnp.arange(N + pad, dtype=jnp.int32)
 
     def body(args):
-        i, oo, dd = args
-        return trace(scene, oo, dd, features, params,
-                     jax.random.fold_in(key, i), accel=accel,
-                     shared_origin=shared_origin, tables=tables)
+        ii, oo, dd = args
+        return trace(scene, oo, dd, features, params, key, accel=accel,
+                     shared_origin=shared_origin, tables=tables,
+                     ray_ids=ii)
 
-    cols = jax.lax.map(body, (jnp.arange(nc),
+    cols = jax.lax.map(body, (ids.reshape(nc, C),
                               o_p.reshape(nc, C, 3), d_p.reshape(nc, C, 3)))
     return cols.reshape(-1, 3)[:N]
 

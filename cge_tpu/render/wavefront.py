@@ -192,7 +192,8 @@ def hit_attributes(scene, o, d, ids: HitIds, features,
 
 def _intersect_and_shade(scene, o, d, features, params, key,
                          alive=None, accel: Accel | None = None,
-                         shared_origin: bool = False, tables=None):
+                         shared_origin: bool = False, tables=None,
+                         ray_ids=None):
     """One bounce: closest hit, attributes, local radiance.
 
     alive: optional [N] bool — dead rays get tmax = -1, which both sweep
@@ -235,7 +236,7 @@ def _intersect_and_shade(scene, o, d, features, params, key,
                                attrs.ks, attrs.shininess, features, params,
                                key, alive=jnp.asarray(attrs.hit)
                                if alive is None else (alive & attrs.hit),
-                               accel=accel)
+                               accel=accel, ray_ids=ray_ids)
     local = jnp.where(attrs.hit[:, None], local, 0.0)
     return attrs, local
 
@@ -335,7 +336,7 @@ def _unroll_depth(scene, params, features) -> int:
 def _scan_chain(scene, o, d, W, acc, features, params, key,
                 start_level: int, n_levels: int, tail_trans: bool = False,
                 accel: Accel | None = None, shared_origin: bool = False,
-                tables=None):
+                tables=None, ray_ids=None):
     """Run n_levels affine-chain bounces as one lax.scan (single compiled
     body — a 12x-unrolled python loop trips XLA:CPU's MLIR limits and bloats
     TPU compile time).
@@ -361,7 +362,8 @@ def _scan_chain(scene, o, d, W, acc, features, params, key,
         Returns (contrib, o', d', W', alive')."""
         attrs, local = _intersect_and_shade(
             scene, o, d, features, params, k, alive, accel,
-            shared_origin=shared_origin_lvl, tables=tables)
+            shared_origin=shared_origin_lvl, tables=tables,
+            ray_ids=ray_ids)
         # pin t: without this one barrier the child-ray fma
         # (1e-5 + t) * d + o fuses differently inline vs inside the
         # chunking lax.map, breaking chunked == unchunked bit-exactness
@@ -435,7 +437,7 @@ def _scan_chain(scene, o, d, W, acc, features, params, key,
 
 
 def trace_chain(scene, o, d, features, params, key, accel=None,
-                shared_origin: bool = False, tables=None):
+                shared_origin: bool = False, tables=None, ray_ids=None):
     """Linear-chain wavefront trace (all modes except TRANS+REC and glossy).
 
     o, d: [N, 3]. Returns radiance [N, 3]. shared_origin peels bounce 0 out
@@ -448,12 +450,13 @@ def trace_chain(scene, o, d, features, params, key, accel=None,
     unroll = _unroll_depth(scene, params, features)
     return _scan_chain(scene, o, d, W, acc, features, params, key, 0, unroll,
                        accel=accel, shared_origin=shared_origin,
-                       tables=tables)
+                       tables=tables, ray_ids=ray_ids)
 
 
 def trace_tree_trans_recursive(scene, o, d, features, params, key,
                                accel: Accel | None = None,
-                               shared_origin: bool = False, tables=None):
+                               shared_origin: bool = False, tables=None,
+                               ray_ids=None):
     """TRANS + REC (glossy off): two distinct children per bounce, folded
     into the ray axis (the bounded-wavefront formulation of the
     reference's 2^depth recursion).
@@ -486,6 +489,9 @@ def trace_tree_trans_recursive(scene, o, d, features, params, key,
     acc = jnp.zeros((N, 3), jnp.float32)
     co, cd = o, d
     cw = jnp.ones(N, jnp.float32)
+    if ray_ids is None:
+        ray_ids = jnp.arange(N, dtype=jnp.int32)
+    ids = ray_ids
     for level in range(params.ray_depth):
         k = jax.random.fold_in(key, level)
         alive = cw != 0.0
@@ -494,7 +500,7 @@ def trace_tree_trans_recursive(scene, o, d, features, params, key,
                                             accel,
                                             shared_origin=(shared_origin
                                                            and level == 0),
-                                            tables=tables)
+                                            tables=tables, ray_ids=ids)
         live_hit = alive & attrs.hit
         t_mat = attrs.transparency
         trans_ne1 = t_mat != 1.0
@@ -519,13 +525,17 @@ def trace_tree_trans_recursive(scene, o, d, features, params, key,
         cd = jnp.concatenate([md, sd])
         cw = jnp.concatenate([jnp.where(live_hit, cw * wM, 0.0),
                               jnp.where(live_hit, cw * wS, 0.0)])
+        # children get distinct GLOBAL ids (mirror 2i, second 2i+1) so any
+        # stochastic sampling they feed stays chunk/shard-invariant
+        ids = jnp.concatenate([ids * 2, ids * 2 + 1])
 
     # tail: only the ungated t != 1 continuation path flows past depth 0
     tail = _unroll_depth(scene, params, features) - params.ray_depth
     tail_acc = _scan_chain(scene, co, cd, cw,
                            jnp.zeros((co.shape[0], 3), jnp.float32),
                            features, params, key, params.ray_depth, tail,
-                           tail_trans=True, accel=accel, tables=tables)
+                           tail_trans=True, accel=accel, tables=tables,
+                           ray_ids=ids)
     return acc + tail_acc.reshape(-1, N, 3).sum(axis=0)
 
 
@@ -541,16 +551,17 @@ def _orthonormal_cone_basis(w):
     return u, v
 
 
-def _glossy_sample_dirs(attrs, md, n_samples, params, key):
+def _glossy_sample_dirs(attrs, md, n_samples, params, key, ray_ids):
     """Cone sample directions (render.cpp:84-90). md: mirror direction.
-    Returns (dirs [N, S, 3], above [N, S])."""
+    Returns (dirs [N, S, 3], above [N, S]); jitter streams keyed per ray."""
+    from cge_tpu.render.lights import per_ray_uniform
     w = _normalize(md)
     u, v = _orthonormal_cone_basis(w)
     a = ((1.0 / jnp.where(attrs.shininess != 0, attrs.shininess, 1.0))
          * params.alpha_modifier)
     N = md.shape[0]
-    r1 = jax.random.uniform(jax.random.fold_in(key, 0), (N, n_samples))
-    r2 = jax.random.uniform(jax.random.fold_in(key, 1), (N, n_samples))
+    r1 = per_ray_uniform(jax.random.fold_in(key, 0), ray_ids, (n_samples,))
+    r2 = per_ray_uniform(jax.random.fold_in(key, 1), ray_ids, (n_samples,))
     wu = (-a[:, None] / 2 + r1 * a[:, None])[..., None]
     wv = (-a[:, None] / 2 + r2 * a[:, None])[..., None]
     dirs = _normalize(w[:, None, :] + wu * u[:, None, :] + wv * v[:, None, :])
@@ -559,7 +570,7 @@ def _glossy_sample_dirs(attrs, md, n_samples, params, key):
 
 
 def trace_glossy(scene, o, d, features, params, key, accel=None,
-                 shared_origin: bool = False, tables=None):
+                 shared_origin: bool = False, tables=None, ray_ids=None):
     """Glossy reflections (render.cpp:56-99), wavefront form.
 
     Reference semantics per bounce (glossy feature on, material shininess
@@ -579,17 +590,19 @@ def trace_glossy(scene, o, d, features, params, key, accel=None,
     """
     N = o.shape[0]
     S = params.rays_per_reflection
+    if ray_ids is None:
+        ray_ids = jnp.arange(N, dtype=jnp.int32)
     k0 = jax.random.fold_in(key, 0)
     attrs, local = _intersect_and_shade(scene, o, d, features, params, k0,
                                         accel=accel,
                                         shared_origin=shared_origin,
-                                        tables=tables)
+                                        tables=tables, ray_ids=ray_ids)
     valid_mirror = jnp.any(attrs.ks != 0.0, axis=-1)
     glossy_active = valid_mirror & (attrs.shininess != 0.0)
     mo, md, _ = compute_reflection_ray(o, d, attrs.t, attrs.normal, attrs.ks)
 
     gdirs, above = _glossy_sample_dirs(attrs, md, S, params,
-                                       jax.random.fold_in(k0, 100))
+                                       jax.random.fold_in(k0, 100), ray_ids)
     # child rays: cone samples for glossy materials, the mirror (sample 0
     # carries full weight) for shininess == 0 materials
     child_d = jnp.where(glossy_active[:, None, None], gdirs,
@@ -607,7 +620,10 @@ def trace_glossy(scene, o, d, features, params, key, accel=None,
                        params.ray_depth - 1)                  # [N]
     depth1 = jnp.broadcast_to(depth1[:, None], (N, S))
 
-    # flatten samples into the ray axis and scan the remaining bounces
+    # flatten samples into the ray axis and scan the remaining bounces;
+    # sample s of parent ray i carries global id i*S + s
+    fids = (ray_ids[:, None] * S
+            + jnp.arange(S, dtype=jnp.int32)[None, :]).reshape(N * S)
     fo = child_o.reshape(N * S, 3)
     fd = child_d.reshape(N * S, 3)
     fW = W1.reshape(N * S, 3)
@@ -620,7 +636,7 @@ def trace_glossy(scene, o, d, features, params, key, accel=None,
         live_in = jnp.any(W != 0.0, axis=-1)
         attrs, local = _intersect_and_shade(scene, o, d, features,
                                             params, k, live_in, accel,
-                                            tables=tables)
+                                            tables=tables, ray_ids=fids)
         alive = live_in & attrs.hit
         acc = acc + jnp.where(alive[:, None], W * local, 0.0)
         vm = jnp.any(attrs.ks != 0.0, axis=-1)
@@ -628,7 +644,7 @@ def trace_glossy(scene, o, d, features, params, key, accel=None,
         mo, md, _ = compute_reflection_ray(o, d, attrs.t, attrs.normal,
                                            attrs.ks)
         gdir, abv = _glossy_sample_dirs(attrs, md, 1, params,
-                                        jax.random.fold_in(k, 5))
+                                        jax.random.fold_in(k, 5), fids)
         nd = jnp.where(ga[:, None], gdir[:, 0], md)
         spawn = alive & vm & (depth >= 1)
         w_step = jnp.where(ga[:, None],
@@ -657,7 +673,7 @@ def trace_glossy(scene, o, d, features, params, key, accel=None,
 
 
 def trace(scene, o, d, features, params, key, accel=None,
-          shared_origin: bool = False, tables=None):
+          shared_origin: bool = False, tables=None, ray_ids=None):
     """Dispatch to the right statically-specialized trace shape.
 
     accel: pass a prebuilt Accel to share the packed cluster tiles across
@@ -679,11 +695,13 @@ def trace(scene, o, d, features, params, key, accel=None,
             scene, tri_ids=accel.perm if _perm_tables(accel, params) else None)
     if features.enable_recursive and features.enable_glossy_reflection:
         return trace_glossy(scene, o, d, features, params, key, accel=accel,
-                            shared_origin=shared_origin, tables=tables)
+                            shared_origin=shared_origin, tables=tables,
+                            ray_ids=ray_ids)
     if features.enable_recursive and features.enable_transparency:
         return trace_tree_trans_recursive(scene, o, d, features, params, key,
                                           accel=accel,
                                           shared_origin=shared_origin,
-                                          tables=tables)
+                                          tables=tables, ray_ids=ray_ids)
     return trace_chain(scene, o, d, features, params, key, accel=accel,
-                       shared_origin=shared_origin, tables=tables)
+                       shared_origin=shared_origin, tables=tables,
+                       ray_ids=ray_ids)

@@ -122,3 +122,83 @@ def test_train_step_sharded(scene):
     assert np.isfinite(float(loss))
     moved = float(jnp.abs(new_scene.mat_kd - scene.mat_kd).sum())
     assert moved > 0, "gradients did not flow to materials"
+
+
+# ---------------------------------------------------------------------------
+# r5: sharded loss/grads == single-device across the FULL feature matrix.
+# Stochastic streams are keyed by global ray id (cge_tpu.render.lights.
+# per_ray_uniform), so even the soft-shadow jitter matches exactly between
+# mesh shapes — the psum'd gradient path for soft shadows / textures /
+# TRANS+REC executes and must agree with the unsharded trace.
+# ---------------------------------------------------------------------------
+
+GRAD_FEATURE_SETS = {
+    # segment-light 25-sample + parallelogram 5x5 stratification
+    # (light.cpp:123-157) through the shadow sweeps' backward
+    "soft_segment": ("cube",
+                     Features(enable_shading=True, enable_soft_shadow=True)),
+    "soft_parallelogram": ("cornell_box_parallelogram_light",
+                           Features(enable_shading=True,
+                                    enable_soft_shadow=True)),
+    # texture lerp backward (texture.cpp:30-47)
+    "texture": ("cube_textured",
+                Features(enable_shading=True, enable_hard_shadow=True,
+                         enable_texture_mapping=True,
+                         enable_bilinear_texture_filtering=True)),
+    # the 2^depth folded TRANS+REC tree (render.cpp:106-132)
+    "transrec": ("cube",
+                 Features(enable_shading=True, enable_hard_shadow=True,
+                          enable_recursive=True, enable_transparency=True)),
+}
+
+
+@pytest.mark.parametrize("name", sorted(GRAD_FEATURE_SETS))
+def test_train_step_sharded_equals_single_device(name):
+    from cge_tpu.scene.scene import deserialize_scene_type
+
+    scene_name, feats = GRAD_FEATURE_SETS[name]
+    s = load_scene_prebuilt(deserialize_scene_type(scene_name))
+    T = s.tris.shape[0]
+    pad = (-T) % 2
+    if pad:
+        s = dataclasses.replace(
+            s, tris=jnp.pad(s.tris, ((0, pad), (0, 0))),
+            tri_mat=jnp.pad(s.tri_mat, (0, pad)),
+            tri_mask=jnp.pad(s.tri_mask, (0, pad)))
+    grid = pixel_grid(8, 8).reshape(-1, 2)    # 64 rays: divides every mesh
+    o, d = Camera().generate_rays(grid)
+    target = jnp.zeros((o.shape[0], 3), jnp.float32)
+    params = RenderParams()
+
+    ref_mesh = make_mesh(("rays", "prims"), (1, 1),
+                         devices=jax.devices()[:1])
+    loss0, scene0 = train_step_sharded(s, o, d, target, feats, params,
+                                       ref_mesh, lr=1e-3)
+    for shape in [(8, 1), (4, 2)]:
+        mesh = make_mesh(("rays", "prims"), shape)
+        loss1, scene1 = train_step_sharded(s, o, d, target, feats, params,
+                                           mesh, lr=1e-3)
+        _cmp(loss1, loss0)
+        # the updated scene embeds lr * grads: leaf-wise equality is the
+        # grads == single-device assertion
+        for l0, l1 in zip(jax.tree.leaves(scene0), jax.tree.leaves(scene1)):
+            if hasattr(l0, "dtype") and jnp.issubdtype(l0.dtype,
+                                                       jnp.floating):
+                _cmp(l1, l0)
+    # and the gradients moved something
+    moved = sum(float(jnp.abs(a - b).sum())
+                for a, b in zip(jax.tree.leaves(scene0), jax.tree.leaves(s))
+                if hasattr(a, "dtype")
+                and jnp.issubdtype(a.dtype, jnp.floating))
+    assert moved > 0, f"no parameter movement for {name}"
+
+
+def test_soft_shadow_render_chunk_invariant():
+    """The per-ray threefry streams make stochastic renders independent of
+    trace_chunk — chunked == unchunked bit-exact (r5)."""
+    s = load_scene_prebuilt(SceneType.CornellBoxParallelogramLight)
+    feats = Features(enable_shading=True, enable_soft_shadow=True)
+    img_a = render_image(s, Camera(), feats, RenderParams(), 16, 16)
+    small = RenderParams().replace(trace_chunk=64)
+    img_b = render_image(s, Camera(), feats, small, 16, 16)
+    np.testing.assert_array_equal(np.asarray(img_a), np.asarray(img_b))

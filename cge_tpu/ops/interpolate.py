@@ -35,7 +35,11 @@ def barycentric_coord(v0, v1, v2, p):
 
 def interpolate_normal(n0, n1, n2, bary):
     n = (n0 * bary[..., :1] + n1 * bary[..., 1:2] + n2 * bary[..., 2:3]) / 3.0
-    return n / jnp.linalg.norm(n, axis=-1, keepdims=True)
+    # grad-safe at |n| = 0 (degenerate masked lanes): the norm's backward
+    # is NaN there regardless of cotangent — guard inside the sqrt
+    n2s = jnp.sum(n * n, axis=-1, keepdims=True)
+    pos = n2s > 0
+    return jnp.where(pos, n / jnp.sqrt(jnp.where(pos, n2s, 1.0)), 0.0)
 
 
 def interpolate_texcoord(t0, t1, t2, bary):

@@ -46,9 +46,16 @@ def _dot(a, b):
 
 
 def triangle_plane(v0, v1, v2):
-    """trianglePlane: n = normalize(cross(v1-v0, v2-v0)), D = dot(n, v0)."""
+    """trianglePlane: n = normalize(cross(v1-v0, v2-v0)), D = dot(n, v0).
+
+    Grad-safe at degenerate triangles (zero cross product — pad rows of
+    padded triangle tables): reverse-mode through v/|v| at |v| = 0 emits
+    NaN into the VERTEX gradients even under a zero cotangent. Results for
+    non-degenerate triangles are bit-identical."""
     n = jnp.cross(v1 - v0, v2 - v0)
-    n = n / jnp.linalg.norm(n, axis=-1, keepdims=True)
+    n2 = jnp.sum(n * n, axis=-1, keepdims=True)
+    pos = n2 > 0
+    n = jnp.where(pos, n / jnp.sqrt(jnp.where(pos, n2, 1.0)), 0.0)
     return n, _dot(n, v0)
 
 
@@ -168,6 +175,44 @@ def build_accel(scene) -> Accel:
     return Accel(perm=perm, aabbs=aabbs, tiles=tiles)
 
 
+def coherent_sweep_order(point, d, tmax):
+    """Sweep-local coherence permutation for DIVERGENT ray batches:
+    alive-first, bucketed by direction octant, STABLE within buckets.
+    Returns (order, inv) [N] i32.
+
+    Rationale (r5): the cluster sweep's per-block work scales with the
+    block's plausible cluster corridor. Bounce-level wavefronts are 2-20%
+    alive and direction-scattered, so scan-order 512-ray blocks each pay a
+    wide corridor on HBM-streamed scenes (6.2 ms/call on the 614k dragon,
+    PERF_r05.md). Permuting ONLY around the kernel call (inputs permuted,
+    outputs unpermuted; the shading state never moves — r4's losing
+    variant permuted the whole scan carry) packs dead rays into skipped
+    blocks and groups live rays by octant.
+
+    Implementation is a 9-bucket COUNTING permutation (a [N, 9] cumsum +
+    one scatter), NOT an argsort: a 65k argsort costs multiple ms on TPU
+    (bitonic) and measured a net frame LOSS; the cumsum is ~100x cheaper.
+    Stability preserves the parent level's tile-swizzle coherence inside
+    each bucket — better locality than a morton re-sort. `point` is kept
+    in the signature for future locality keys."""
+    del point
+    N = d.shape[0]
+    live = tmax >= 0
+    octant = ((d[:, 0] > 0).astype(jnp.int32) * 4
+              + (d[:, 1] > 0).astype(jnp.int32) * 2
+              + (d[:, 2] > 0).astype(jnp.int32))
+    bucket = jnp.where(live, octant, 8)                    # dead last
+    onehot = (bucket[:, None] == jnp.arange(9)[None, :]).astype(jnp.int32)
+    within = jnp.cumsum(onehot, axis=0) - 1                # [N, 9] inclusive
+    totals = jnp.sum(onehot, axis=0)                       # [9]
+    offsets = jnp.cumsum(totals) - totals                  # exclusive [9]
+    pos = (jnp.take_along_axis(within, bucket[:, None], axis=1)[:, 0]
+           + offsets[bucket])                              # target slot = inv
+    order = jnp.zeros(N, jnp.int32).at[pos].set(
+        jnp.arange(N, dtype=jnp.int32))
+    return order, pos
+
+
 def _closest_tris_sweep(o, d, tmax, vertices, tris, mask, tri_tile: int,
                         idx_offset=0):
     """Scan over triangle tiles; returns (t [R], idx [R]) with last-wins ties.
@@ -239,7 +284,9 @@ def closest_hit(scene, o, d, tmax, tri_tile: int = 512,
                 prims_axis=None, prims_axis_size: int = 1,
                 use_pallas=None, accel: Accel | None = None,
                 shared_origin: bool = False, br: int = 512,
-                exact_keys: bool = True, perm_ids: bool = False) -> HitIds:
+                exact_keys: bool = True, perm_ids: bool = False,
+                sc_n: int | None = None,
+                sort_rays: bool = False) -> HitIds:
     """Closest hit over all primitives of the scene.
 
     Replicates the reference's acceptance + tie rules (see module docstring).
@@ -262,19 +309,22 @@ def closest_hit(scene, o, d, tmax, tri_tile: int = 512,
         use_pallas = _on_tpu()
     # closest-hit is a discrete selection oracle: every differentiable
     # quantity is recomputed from the returned ids by the caller, so the ray
-    # inputs carry stop_gradient (also keeps the non-differentiable Pallas
-    # kernels out of JVP traces).
+    # inputs AND the geometry tables carry stop_gradient (also keeps the
+    # non-differentiable Pallas kernels out of JVP traces, and keeps
+    # degenerate pad rows' NaN-producing backward — normalize/sqrt at 0 —
+    # out of the vertex/sphere gradients entirely; r5 transrec grad test).
     sg = jax.lax.stop_gradient
     o, d, tmax = sg(o), sg(d), sg(tmax)
+    verts = sg(scene.vertices)
 
     def sweep(tris, mask, idx_offset):
         if use_pallas:
             from cge_tpu.ops.pallas.sweep import (pack_tri_table,
                                                   pallas_closest_tris)
-            table = pack_tri_table(scene.vertices, tris, mask)
+            table = pack_tri_table(verts, tris, mask)
             t, i = pallas_closest_tris(o, d, tmax, table)
             return t, jnp.where(i >= 0, i + idx_offset, i)
-        return _closest_tris_sweep(o, d, tmax, scene.vertices, tris, mask,
+        return _closest_tris_sweep(o, d, tmax, verts, tris, mask,
                                    tri_tile, idx_offset=idx_offset)
 
     interp = FORCE_CLUSTER_INTERPRET and not _on_tpu()
@@ -282,12 +332,26 @@ def closest_hit(scene, o, d, tmax, tri_tile: int = 512,
         # == uses_cluster_sweep(accel, prims_axis) whenever use_pallas was
         # defaulted (the only way render paths call this)
         from cge_tpu.ops.pallas.cluster_sweep import pallas_cluster_tris
-        best_t, best_i = pallas_cluster_tris(o, d, tmax, accel.aabbs,
-                                             accel.tiles, accel.perm,
-                                             br=br, exact_keys=exact_keys,
-                                             shared_origin=shared_origin,
-                                             perm_ids=perm_ids,
-                                             interpret=interp)
+        if sort_rays:
+            # sweep-local coherence permutation (divergent bounce batches;
+            # see coherent_sweep_order). Ties resolve in the permuted visit
+            # order — the same documented divergence class as block order.
+            order, inv = coherent_sweep_order(o, d, tmax)
+            t_s, i_s = pallas_cluster_tris(
+                o[order], d[order], tmax[order], accel.aabbs, accel.tiles,
+                accel.perm, br=br, exact_keys=exact_keys,
+                shared_origin=False, perm_ids=perm_ids, sc_n=sc_n,
+                interpret=interp)
+            best_t, best_i = t_s[inv], i_s[inv]
+        else:
+            best_t, best_i = pallas_cluster_tris(o, d, tmax, accel.aabbs,
+                                                 accel.tiles, accel.perm,
+                                                 br=br,
+                                                 exact_keys=exact_keys,
+                                                 shared_origin=shared_origin,
+                                                 perm_ids=perm_ids,
+                                                 sc_n=sc_n,
+                                                 interpret=interp)
     elif accel is not None and (use_pallas or interp):
         # prims-sharded cluster sweep (the TP analogue, SURVEY.md §2.3):
         # superclusters — not raw triangles — are sharded across the mesh
@@ -316,7 +380,8 @@ def closest_hit(scene, o, d, tmax, tri_tile: int = 512,
         t_l, f_l = pallas_cluster_tris(o, d, tmax, ab_l, tl_l, pm_l,
                                        br=br, exact_keys=exact_keys,
                                        shared_origin=shared_origin,
-                                       perm_ids=True, interpret=interp)
+                                       perm_ids=True, sc_n=sc_n,
+                                       interpret=interp)
         f_g = jnp.where(f_l >= 0, f_l + ax * shard * C, -1)
         ts = jax.lax.all_gather(t_l, prims_axis)             # [P, R]
         fs = jax.lax.all_gather(f_g, prims_axis)
@@ -348,7 +413,8 @@ def closest_hit(scene, o, d, tmax, tri_tile: int = 512,
     # spheres: tested after all triangles (ctor order,
     # bounding_volume_hierarchy.cpp:158-171); accept strictly < current best.
     sph_budget = jnp.minimum(best_t, tmax)
-    ts = intersect_spheres_t(o, d, sph_budget, scene.sph_center, scene.sph_radius)
+    ts = intersect_spheres_t(o, d, sph_budget, sg(scene.sph_center),
+                             sg(scene.sph_radius))
     ts = jnp.where(scene.sph_mask[None, :], ts, jnp.inf)
     ts_min = jnp.min(ts, axis=1)
     S = ts.shape[1]
@@ -368,7 +434,9 @@ def closest_hit_chunked(scene, o, d, tmax, ray_chunk: int = 2048,
                         accel: Accel | None = None,
                         shared_origin: bool = False, br: int = 512,
                         exact_keys: bool = True,
-                        perm_ids: bool = False) -> HitIds:
+                        perm_ids: bool = False,
+                        sc_n: int | None = None,
+                        sort_rays: bool = False) -> HitIds:
     """Memory-bounded closest hit.
 
     On TPU the Pallas sweep kernel bounds VMEM via its own grid, so the
@@ -381,7 +449,8 @@ def closest_hit_chunked(scene, o, d, tmax, ray_chunk: int = 2048,
                            use_pallas=_on_tpu(),
                            accel=accel, shared_origin=shared_origin,
                            br=br, exact_keys=exact_keys,
-                           perm_ids=perm_ids and accel is not None)
+                           perm_ids=perm_ids and accel is not None,
+                           sc_n=sc_n, sort_rays=sort_rays)
     R = o.shape[0]
     n_chunks = max(1, -(-R // ray_chunk))
     pad = n_chunks * ray_chunk - R
@@ -402,7 +471,8 @@ def closest_hit_chunked(scene, o, d, tmax, ray_chunk: int = 2048,
 
 def any_hit_occlusion(scene, o, d, tmax, accel: Accel | None = None,
                       br: int = 512, exact_keys: bool = True,
-                      tri_rays=None):
+                      tri_rays=None, sc_n: int | None = None,
+                      sort_rays: bool = False):
     """Occlusion query: True where *any* primitive blocks the ray within its
     t budget (light.cpp:60-63 when transparency is off — the caller only
     needs existence, not which blocker). On TPU with an accel this runs the
@@ -423,13 +493,25 @@ def any_hit_occlusion(scene, o, d, tmax, accel: Accel | None = None,
     if _cluster_active(accel):
         from cge_tpu.ops.pallas.cluster_sweep import pallas_cluster_tris
         to, td = (sg(tri_rays[0]), sg(tri_rays[1])) if tri_rays else (o, d)
-        tri_hit, _ = pallas_cluster_tris(to, td, tmax, accel.aabbs,
-                                         accel.tiles, accel.perm,
-                                         br=br, exact_keys=exact_keys,
-                                         any_hit=True,
-                                         interpret=not _on_tpu())
-        ts = intersect_spheres_t(o, d, tmax, scene.sph_center,
-                                 scene.sph_radius)
+        if sort_rays:
+            # sort by the VARYING endpoint: the surface point — to itself
+            # for forward shadow rays, to + td (budget-1 segments) when the
+            # triangle query runs reversed from the light sample
+            point = (to + td) if tri_rays else to
+            order, inv = coherent_sweep_order(point, td, tmax)
+            hit_s, _ = pallas_cluster_tris(
+                to[order], td[order], tmax[order], accel.aabbs, accel.tiles,
+                accel.perm, br=br, exact_keys=exact_keys, any_hit=True,
+                sc_n=sc_n, interpret=not _on_tpu())
+            tri_hit = hit_s[inv]
+        else:
+            tri_hit, _ = pallas_cluster_tris(to, td, tmax, accel.aabbs,
+                                             accel.tiles, accel.perm,
+                                             br=br, exact_keys=exact_keys,
+                                             any_hit=True, sc_n=sc_n,
+                                             interpret=not _on_tpu())
+        ts = intersect_spheres_t(o, d, tmax, sg(scene.sph_center),
+                                 sg(scene.sph_radius))
         ts = jnp.where(scene.sph_mask[None, :], ts, jnp.inf)
         return tri_hit | jnp.isfinite(jnp.min(ts, axis=1))
     return closest_hit_chunked(scene, o, d, tmax, accel=accel,

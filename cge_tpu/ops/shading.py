@@ -23,7 +23,18 @@ def _dot(a, b):
 
 
 def _normalize(v):
-    return v / jnp.linalg.norm(v, axis=-1, keepdims=True)
+    """Grad-safe normalize: zero vectors map to zero instead of NaN.
+
+    Zero directions reach here only as masked-out lanes (the TRANS+REC
+    tree concatenates zero-sentinel mirror children, render.cpp:42-47
+    semantics), but jnp.linalg.norm's OWN backward at |v| = 0 is
+    v/|v| = NaN regardless of the cotangent — so the guard must sit
+    INSIDE the sqrt (found by the r5 sharded transrec grad test). The
+    |v| > 0 result is bit-identical (norm == sqrt(sum(v*v)))."""
+    n2 = jnp.sum(v * v, axis=-1, keepdims=True)
+    pos = n2 > 0
+    n = jnp.sqrt(jnp.where(pos, n2, 1.0))
+    return jnp.where(pos, v / n, 0.0)
 
 
 def cpp_pow(base, exp):

@@ -53,8 +53,14 @@ def shadow_visibility(scene, ray_o, ray_d, ray_t, sample_pos, features,
     """
     if not (features.enable_hard_shadow or features.enable_soft_shadow):
         return jnp.ones(ray_o.shape[0], jnp.float32)
-    dlen = _norm(ray_d)
-    dhat = ray_d / dlen
+    # grad-safe length: zero-sentinel rays (TRANS+REC tree children of
+    # non-mirror materials) make |d| = 0, and both the norm's backward
+    # (v/|v|) and the division produce NaN regardless of the cotangent —
+    # guard INSIDE the sqrt (r5 transrec grad test)
+    d2 = jnp.sum(ray_d * ray_d, axis=-1, keepdims=True)
+    dpos = d2 > 0
+    dlen = jnp.where(dpos, jnp.sqrt(jnp.where(dpos, d2, 1.0)), 0.0)
+    dhat = jnp.where(dpos, ray_d / jnp.where(dpos, dlen, 1.0), 0.0)
     t_norm = ray_t * dlen[..., 0]
     p = ray_o + dhat * (t_norm - 1e-5)[..., None]
     sdir = sample_pos - p
@@ -74,16 +80,24 @@ def shadow_visibility(scene, ray_o, ray_d, ray_t, sample_pos, features,
         # bit-identical blocked set (PERF_r04.md). Spheres test the forward
         # rays inside any_hit_occlusion: their a==1 quadratic quirk is not
         # reversal-invariant (ADVICE r4).
+        rev = ((sample_pos, p - sample_pos)
+               if params.sweep_shadow_reverse else None)
+        sort = params.sweep_sort_shadow
+        if sort is None:   # default off — measured a loss at frame level
+            sort = False
         blocked = any_hit_occlusion(scene, p, sdir, tmax,
                                     accel=accel, br=params.sweep_br,
                                     exact_keys=params.sweep_anyhit_exact_keys,
-                                    tri_rays=(sample_pos, p - sample_pos))
+                                    tri_rays=rev,
+                                    sc_n=params.sweep_anyhit_sc_n,
+                                    sort_rays=bool(sort))
         return jnp.where(blocked, 0.0, 1.0)
     res = closest_hit_chunked(scene, p, sdir, tmax,
                               params.ray_tile, params.tri_tile,
                               params.prims_axis, params.prims_axis_size,
                               accel=accel, br=params.sweep_br,
-                              exact_keys=params.sweep_exact_keys)
+                              exact_keys=params.sweep_exact_keys,
+                              sc_n=params.sweep_sc_n)
     if features.enable_transparency:
         # the *closest* blocker's transparency (light.cpp:65-68)
         tri_tr = scene.mat_transparency[scene.tri_mat[res.prim]]

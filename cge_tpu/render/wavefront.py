@@ -54,7 +54,11 @@ def _dot(a, b):
 
 
 def _normalize(v):
-    return v / jnp.linalg.norm(v, axis=-1, keepdims=True)
+    # grad-safe at |v| = 0 (zero-sentinel mirror children): the guard must
+    # sit INSIDE the sqrt — see cge_tpu.ops.shading._normalize
+    n2 = jnp.sum(v * v, axis=-1, keepdims=True)
+    pos = n2 > 0
+    return jnp.where(pos, v / jnp.sqrt(jnp.where(pos, n2, 1.0)), 0.0)
 
 
 class HitAttrs(NamedTuple):
@@ -217,13 +221,19 @@ def _intersect_and_shade(scene, o, d, features, params, key,
     else:
         tmax = jnp.where(alive, jnp.inf, -1.0)
 
+    sort = params.sweep_sort_bounce
+    if sort is None:      # default off — measured a loss at frame level
+        sort = False
     ids = closest_hit_chunked(scene, o, d, tmax, params.ray_tile,
                               params.tri_tile, params.prims_axis,
                               params.prims_axis_size, accel=accel,
                               shared_origin=shared_origin,
                               br=params.sweep_br,
                               exact_keys=params.sweep_exact_keys,
-                              perm_ids=_perm_tables(accel, params))
+                              perm_ids=_perm_tables(accel, params),
+                              sc_n=params.sweep_sc_n,
+                              sort_rays=bool(sort)
+                              and params.prims_axis is None)
     attrs = hit_attributes(scene, o, d, ids, features, attr_rows=tables)
     if _on_tpu():
         # materialize the per-ray attributes: without this barrier XLA

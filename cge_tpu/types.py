@@ -123,6 +123,26 @@ class RenderParams:
     # let primary-ray sweeps use the single-shared-origin fast path (hoists
     # the origin dot products out of the dense tiles)
     sweep_shared_origin: bool = True
+    # clusters per supercluster (the HBM path's visit/DMA granularity) for
+    # closest-hit and any-hit sweeps; None = the kernel default (1 resident,
+    # SUPERCLUSTER streamed). The field-major repack (r5) made per-cluster
+    # DMA 8x cheaper, so divergent bounce batches can afford finer visits.
+    sweep_sc_n: int | None = None
+    sweep_anyhit_sc_n: int | None = None
+    # sweep-local coherence sort (alive-first + octant + origin-morton,
+    # intersect.coherent_sweep_order) for divergent batches. Default OFF:
+    # measured a LOSS even on the HBM dragon frame (259.6 vs 223.1 ms, r5
+    # PERF log) — TPU argsort at 65k costs more than the packed blocks
+    # save, on every scene tried (r4 tombstone confirmed at scale). The
+    # knob + parity test stay for future hardware/shape regimes.
+    sweep_sort_bounce: bool | None = None
+    sweep_sort_shadow: bool | None = None
+    # run the any-hit TRIANGLE shadow sweep reversed (origin at the light
+    # sample — tight per-block origin hulls; measured 22% faster on teapot,
+    # PERF_r04.md). Reversal is exact for triangles; spheres always test
+    # forward (ADVICE r4). Scene-dependent: forward keeps the surface-tile
+    # coherence instead.
+    sweep_shadow_reverse: bool = True
     # mesh-axis name/size for primitive-sharded closest hit (the TP analogue;
     # set inside shard_map when the mesh has a 'prims' axis)
     prims_axis: str | None = None

@@ -226,6 +226,36 @@ def test_cluster_sweep_exit_bound_boundary_hit():
     assert i[2] == -1 and i[3] == -1
 
 
+def test_sorted_sweep_matches_unsorted(monkey, monkeypatch):
+    """The sweep-local coherence sort (r5, intersect.coherent_sweep_order)
+    permutes only the kernel inputs/outputs: hits, t's and ids must match
+    the unsorted sweep exactly on a divergent, partially-dead batch."""
+    from cge_tpu.ops import intersect
+
+    monkeypatch.setattr(intersect, "FORCE_CLUSTER_INTERPRET", True)
+    accel = intersect.build_accel(monkey)
+    o, d = _rays(monkey, 20)
+    N = o.shape[0]
+    d = d.at[::2].mul(-1.0)                       # scatter directions
+    tmax = jnp.where(jnp.arange(N) % 3 == 0, -1.0, jnp.inf)  # dead third
+    a = intersect.closest_hit(monkey, o, d, tmax, accel=accel,
+                              sort_rays=False)
+    b = intersect.closest_hit(monkey, o, d, tmax, accel=accel,
+                              sort_rays=True)
+    np.testing.assert_array_equal(np.asarray(a.hit), np.asarray(b.hit))
+    hh = np.asarray(a.hit)
+    np.testing.assert_allclose(np.asarray(b.t)[hh], np.asarray(a.t)[hh],
+                               rtol=0, atol=0)
+    np.testing.assert_array_equal(np.asarray(b.prim)[hh],
+                                  np.asarray(a.prim)[hh])
+    sh = jnp.where(tmax > 0, 1.0, -1.0)
+    ah = intersect.any_hit_occlusion(monkey, o, d, sh, accel=accel,
+                                     sort_rays=False)
+    bh = intersect.any_hit_occlusion(monkey, o, d, sh, accel=accel,
+                                     sort_rays=True)
+    np.testing.assert_array_equal(np.asarray(ah), np.asarray(bh))
+
+
 def test_any_hit_occlusion_reversed_matches_closest(cornell, monkeypatch):
     """The reversed TRIANGLE shadow sweep (origin at the light, r4,
     requested via tri_rays) must agree with forward closest-hit occlusion

@@ -146,8 +146,10 @@ GRAD_FEATURE_SETS = {
                          enable_texture_mapping=True,
                          enable_bilinear_texture_filtering=True)),
     # the 2^depth folded TRANS+REC tree (render.cpp:106-132)
+    # soft shadows so the cube's segment light contributes (quirk #15
+    # makes a hard-shadow-only cube black: zero loss would test nothing)
     "transrec": ("cube",
-                 Features(enable_shading=True, enable_hard_shadow=True,
+                 Features(enable_shading=True, enable_soft_shadow=True,
                           enable_recursive=True, enable_transparency=True)),
 }
 
@@ -180,10 +182,14 @@ def test_train_step_sharded_equals_single_device(name):
                                            mesh, lr=1e-3)
         _cmp(loss1, loss0)
         # the updated scene embeds lr * grads: leaf-wise equality is the
-        # grads == single-device assertion
+        # grads == single-device assertion; gradients must also be FINITE
+        # (a NaN-masked comparison hid the r5 transrec normalize-backward
+        # bug until the movement check tripped)
         for l0, l1 in zip(jax.tree.leaves(scene0), jax.tree.leaves(scene1)):
             if hasattr(l0, "dtype") and jnp.issubdtype(l0.dtype,
                                                        jnp.floating):
+                assert np.isfinite(np.asarray(l0)).all()
+                assert np.isfinite(np.asarray(l1)).all()
                 _cmp(l1, l0)
     # and the gradients moved something
     moved = sum(float(jnp.abs(a - b).sum())

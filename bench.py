@@ -167,7 +167,12 @@ def scale_workload(Features, RenderParams, Camera, render_image_u8):
     feats = Features(enable_shading=True, enable_hard_shadow=True,
                      enable_recursive=True, enable_normal_interp=True,
                      enable_accel_structure=True)
-    params = RenderParams()
+    # r5 dragon-tuned knobs (PERF_r05.md frame grid, pixel-identical):
+    # per-cluster visits for both sweep types (the field-major repack made
+    # DMA 8x cheaper) and 16k trace chunks (finer dead-level skips on
+    # sparse bounce levels): 250 -> 170 ms. Teapot keeps its own defaults.
+    params = RenderParams().replace(sweep_sc_n=1, sweep_anyhit_sc_n=1,
+                                    trace_chunk=16384)
     cam = Camera()
     ctx = prepare_render(scene, feats, params)
     np.asarray(render_image_u8(scene, cam, feats, params, W, H, 0, ctx))
@@ -365,6 +370,10 @@ def main():
         "value": round(rays_per_s),
         "unit": "rays/s",
         "vs_baseline": round(ref_ms / best_ms, 3),
+        # the C++ reference runs its OpenMP loop on THIS host's cores —
+        # label the comparison so the speedup isn't read as chip-vs-
+        # workstation (VERDICT r4 weak #4)
+        "ref_host_cores": os.cpu_count(),
         "mrays_per_s": round(rays_per_s / 1e6, 3),
         "f32_ms": round(f32_ms, 2),
         "u8_ms": round(best_ms, 2),

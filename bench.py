@@ -220,25 +220,29 @@ EXTRA_WORKLOADS = {
     "transrec": ("cube", dict(enable_shading=True, enable_recursive=True,
                               enable_transparency=True,
                               enable_hard_shadow=True),
-                 "shading,hard_shadow,recursive,transparency", 512, 2),
+                 "shading,hard_shadow,recursive,transparency", 512, 2,
+                 # the 2^depth tree dispatch dies branch-by-branch: finer
+                 # chunks let dead sub-trees skip at chunk granularity
+                 dict(trace_chunk=16384)),
     # glossy: the 40-sample cone fan-out (render.cpp:56-99). 256x256: the
     # reference needs ~200 recursive traces per pixel here.
     "glossy": ("cornell_box", dict(enable_shading=True, enable_recursive=True,
                                    enable_hard_shadow=True,
                                    enable_glossy_reflection=True),
-               "shading,hard_shadow,recursive,glossy", 256, 1),
+               "shading,hard_shadow,recursive,glossy", 256, 1,
+               dict(trace_chunk=16384)),
     # msaa: 3x3 jittered sub-pixel grid (render.cpp:211-227).
     "msaa": ("cornell_box", dict(enable_shading=True, enable_hard_shadow=True,
                                  enable_multiple_rays_per_pixel=True),
-             "shading,hard_shadow,msaa", 512, 2),
+             "shading,hard_shadow,msaa", 512, 2, None),
     # dof: 5 disk-sampled origins per pixel (render.cpp:243-271).
     "dof": ("cornell_box", dict(enable_shading=True, enable_hard_shadow=True,
                                 enable_depth_of_field=True),
-            "shading,hard_shadow,dof", 512, 2),
+            "shading,hard_shadow,dof", 512, 2, None),
     # softseg: the 25-sample stratified SEGMENT light path
     # (light.cpp:19-26, 123-138) — the parallelogram bench can't see it.
     "softseg": ("cube", dict(enable_shading=True, enable_soft_shadow=True),
-                "shading,soft_shadow", 512, 2),
+                "shading,soft_shadow", 512, 2, None),
 }
 LAST_EXTRA_REF_MS = {"transrec": 1493.0, "glossy": 17187.0, "msaa": 1243.0,
                      "dof": 703.0, "softseg": 1791.0}
@@ -254,11 +258,11 @@ def extra_workloads(Features, RenderParams, Camera, render_image_u8,
     from cge_tpu.utils.profiling import count_rays
 
     out = {}
-    for key, (scene_name, fkw, ref_feats, res, reps) in \
+    for key, (scene_name, fkw, ref_feats, res, reps, pkw) in \
             EXTRA_WORKLOADS.items():
         scene = load_scene_prebuilt(deserialize_scene(scene_name))
         feats = Features(**fkw)
-        params = RenderParams()
+        params = RenderParams(**(pkw or {}))
         cam = Camera()
         ctx = prepare_render(scene, feats, params)
         np.asarray(render_image_u8(scene, cam, feats, params, res, res,
@@ -386,6 +390,13 @@ def main():
         # ~37 ops/pair (was ~60), so achieved-flops/fraction dropped by
         # accounting while the kernel got faster in wall time
         "sweep_gpairs_per_s": round(stats["pairs_per_s"] / 1e9, 4),
+        # attainable ceiling (frozen definitions, PERF_r05.md): pairs/s vs
+        # peak VPU issue slots / slots-per-pair of the emitted tile
+        "sweep_slots_per_pair": stats["slots_per_pair"],
+        "sweep_attainable_gpairs_per_s": round(
+            stats["attainable_pairs_per_s"] / 1e9, 2),
+        "sweep_fraction_of_attainable": round(
+            stats["fraction_of_attainable"], 4),
     }
     try:
         record.update(scale_workload(Features, RenderParams, Camera,

@@ -171,6 +171,10 @@ def test_train_step_sharded_equals_single_device(name):
     o, d = Camera().generate_rays(grid)
     target = jnp.zeros((o.shape[0], 3), jnp.float32)
     params = RenderParams()
+    if feats.enable_transparency and feats.enable_recursive:
+        # depth-3 tree: the full-depth 2^5 tree + 11-level tail costs
+        # many CPU-compile minutes and adds no coverage here
+        params = params.replace(ray_depth=3, extra_transparency_unroll=1)
 
     ref_mesh = make_mesh(("rays", "prims"), (1, 1),
                          devices=jax.devices()[:1])

@@ -65,7 +65,7 @@ def test_chunked_trace_matches_unchunked():
 
 
 def test_batched_cameras_match_sequential():
-    """render_images (vmapped camera batch) == per-camera render_image."""
+    """render_images (lax.map camera batch) == per-camera render_image."""
     from cge_tpu import render_images, stack_cameras
 
     scene = load_scene_prebuilt(SceneType.CornellBox)

@@ -221,9 +221,10 @@ EXTRA_WORKLOADS = {
                               enable_transparency=True,
                               enable_hard_shadow=True),
                  "shading,hard_shadow,recursive,transparency", 512, 2,
-                 # the 2^depth tree dispatch dies branch-by-branch: finer
-                 # chunks let dead sub-trees skip at chunk granularity
-                 dict(trace_chunk=16384)),
+                 # the all-diffuse cube collapses the tree to a single-
+                 # child chain (scene.all_diffuse, bitwise-equal radiance):
+                 # 140 -> 15.5 ms, and the default 65k chunk is best again
+                 None),
     # glossy: the 40-sample cone fan-out (render.cpp:56-99). 256x256: the
     # reference needs ~200 recursive traces per pixel here.
     "glossy": ("cornell_box", dict(enable_shading=True, enable_recursive=True,

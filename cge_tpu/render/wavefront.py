@@ -531,13 +531,25 @@ def trace_tree_trans_recursive(scene, o, d, features, params, key,
         contrib = jnp.where(live_hit[:, None], (cw * A)[:, None] * local, 0.0)
         acc = acc + contrib.reshape(-1, N, 3).sum(axis=0)
 
-        co = jnp.concatenate([mo, so])
-        cd = jnp.concatenate([md, sd])
-        cw = jnp.concatenate([jnp.where(live_hit, cw * wM, 0.0),
-                              jnp.where(live_hit, cw * wS, 0.0)])
-        # children get distinct GLOBAL ids (mirror 2i, second 2i+1) so any
-        # stochastic sampling they feed stays chunk/shard-invariant
-        ids = jnp.concatenate([ids * 2, ids * 2 + 1])
+        if scene.all_diffuse:
+            # ks == 0 everywhere: the mirror child is ALWAYS the dead zero
+            # sentinel (wM = A*g1 = 0), so don't double the batch for it —
+            # the tree is a single-child chain. Radiance is bitwise equal
+            # (summing the dropped branch's exact zeros changes nothing);
+            # surviving paths keep the ids they had (2i+1), so stochastic
+            # streams are unchanged too. Cube transrec-512: 140 -> see
+            # PERF_r05.md.
+            co, cd = so, sd
+            cw = jnp.where(live_hit, cw * wS, 0.0)
+            ids = ids * 2 + 1
+        else:
+            co = jnp.concatenate([mo, so])
+            cd = jnp.concatenate([md, sd])
+            cw = jnp.concatenate([jnp.where(live_hit, cw * wM, 0.0),
+                                  jnp.where(live_hit, cw * wS, 0.0)])
+            # children get distinct GLOBAL ids (mirror 2i, second 2i+1) so
+            # any stochastic sampling they feed stays chunk/shard-invariant
+            ids = jnp.concatenate([ids * 2, ids * 2 + 1])
 
     # tail: only the ungated t != 1 continuation path flows past depth 0
     tail = _unroll_depth(scene, params, features) - params.ray_depth

@@ -170,6 +170,12 @@ class SceneArrays:
     # picks the bounce-loop unroll depth at trace time.
     all_opaque: bool = dataclasses.field(
         default=True, metadata=dict(static=True))
+    # True iff every material's ks == 0: mirror children are always the
+    # zero sentinel (shading.cpp:42-47), so the TRANS+REC tree collapses
+    # to a single-child chain (no 2^depth fan-out) — trace shape only,
+    # radiance is bitwise identical (the dropped branch carries weight 0).
+    all_diffuse: bool = dataclasses.field(
+        default=False, metadata=dict(static=True))
 
     @property
     def num_tris(self) -> int:
@@ -322,6 +328,7 @@ def build_scene_arrays(
         par_c0=j(qc0), par_c1=j(qc1), par_c2=j(qc2), par_c3=j(qc3),
         par_mask=j(qmask),
         all_opaque=bool(np.all(tr == 1.0)),
+        all_diffuse=bool(np.all(np.asarray(ks) == 0.0)),
     )
 
 

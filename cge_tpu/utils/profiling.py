@@ -74,7 +74,11 @@ def count_rays(width: int, height: int, scene, features, params) -> int:
     elif features.enable_recursive and features.enable_transparency:
         d = params.ray_depth
         extra = 0 if scene.all_opaque else params.extra_transparency_unroll
-        units = (2 ** d - 1) + 2 ** d * (1 + extra)
+        if getattr(scene, "all_diffuse", False):
+            # single-child chain (mirror children statically dead)
+            units = d + (1 + extra)
+        else:
+            units = (2 ** d - 1) + 2 ** d * (1 + extra)
     else:
         units = _unroll_depth(scene, params, features)
     return n * (1 + shadow) * units

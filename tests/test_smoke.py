@@ -97,3 +97,20 @@ def test_prepared_context_matches_inline():
     a = np.asarray(render_image(scene, cam, feats, params, 32, 32))
     b = np.asarray(render_image(scene, cam, feats, params, 32, 32, 0, ctx))
     np.testing.assert_array_equal(np.nan_to_num(a), np.nan_to_num(b))
+
+
+def test_all_diffuse_tree_collapse_matches_generic():
+    """all_diffuse scenes (every ks == 0) run the TRANS+REC tree as a
+    single-child chain; radiance must be bitwise equal to the generic
+    two-child tree (the dropped mirror branch carries exact zeros)."""
+    import dataclasses
+
+    scene = load_scene_prebuilt(SceneType.Cube)
+    assert scene.all_diffuse
+    feats = Features(enable_shading=True, enable_soft_shadow=True,
+                     enable_recursive=True, enable_transparency=True)
+    params = RenderParams(ray_depth=3, extra_transparency_unroll=2)
+    a = np.asarray(render_image(scene, Camera(), feats, params, 16, 16))
+    generic = dataclasses.replace(scene, all_diffuse=False)
+    b = np.asarray(render_image(generic, Camera(), feats, params, 16, 16))
+    np.testing.assert_array_equal(np.nan_to_num(a), np.nan_to_num(b))
